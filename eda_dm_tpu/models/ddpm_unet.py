@@ -1,0 +1,335 @@
+"""DDPM UNet (CIFAR/LSUN pixel-space) — quantization-aware flax rebuild.
+
+Re-implements the architecture of the reference's ``Model``
+(/root/reference/ddim/models/diffusion.py:199-392) with the quantization
+insertion points of ``QuantResnetBlock`` / ``QuantAttnBlock``
+(/root/reference/qdiff/quant_block.py:300-348,398-451) built in:
+
+* every conv / dense is a :class:`QConv` / :class:`QDense` (act + weight
+  fake-quant, AdaRound weights);
+* attention matmuls carry four activation quantizers (q, k, v at act_bit and
+  the softmax output at sm_abit);
+* the up-path 1×1 skip convs use split-channel dual quantizers when
+  ``qc.split`` (diffusion.py:354-368 routing split into ``nin_shortcut``);
+* the reference's ``set_first_last_layer_to_8bit`` /
+  ``disable_network_output_quantization`` policies
+  (/root/reference/qdiff/quant_model.py:77-95) are applied at construction:
+  first registered weight quantizer (temb dense 0) and last (conv_out) are
+  8-bit, conv_out's act quant is disabled and the second-to-last registered
+  act quantizer (level-3 upsample conv) is 8-bit.
+
+Layout is NHWC (TPU-native); weight layout HWIO.  Inference-only: dropout is
+omitted (the reference always runs quantization in eval mode).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..quant.config import QuantConfig, QuantMode, QuantizerSpec
+from ..nn.layers import (QConv, QDense, ActQuantizer, group_norm, swish,
+                         timestep_embedding, _sow_reduce)
+
+
+@dataclasses.dataclass(frozen=True)
+class DDPMConfig:
+    """Architecture hyperparameters (configs/cifar10.yml 'model' section)."""
+    in_channels: int = 3
+    out_ch: int = 3
+    ch: int = 128
+    ch_mult: Tuple[int, ...] = (1, 2, 2, 2)
+    num_res_blocks: int = 2
+    attn_resolutions: Tuple[int, ...] = (16,)
+    resolution: int = 32
+
+    @property
+    def temb_ch(self) -> int:
+        return self.ch * 4
+
+    @property
+    def num_resolutions(self) -> int:
+        return len(self.ch_mult)
+
+
+class ResnetBlockD(nn.Module):
+    """DDPM ResnetBlock (diffusion.py:77-141 / quant_block.py:300-348).
+
+    ``split`` > 0 activates the dual-quantizer path on the 1×1 shortcut conv
+    only (the reference routes split exclusively into ``nin_shortcut``,
+    diffusion.py:136-139).
+    """
+
+    out_ch: int
+    temb_ch: int
+    wq: QuantizerSpec
+    aq: QuantizerSpec
+    split: int = 0
+    conv_shortcut: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, temb: jnp.ndarray,
+                 mode: QuantMode) -> jnp.ndarray:
+        if mode.capture:
+            self.sow("taps", "block_in", x, reduce_fn=_sow_reduce)
+        in_ch = x.shape[-1]
+        h = swish(group_norm()(x))
+        h = QConv(self.out_ch, (3, 3), wq=self.wq, aq=self.aq,
+                  name="conv1")(h, mode)
+        h = h + QDense(self.out_ch, wq=self.wq, aq=self.aq,
+                       name="temb_proj")(swish(temb), mode)[:, None, None, :]
+        h = swish(group_norm()(h))
+        h = QConv(self.out_ch, (3, 3), wq=self.wq, aq=self.aq,
+                  name="conv2")(h, mode)
+        if in_ch != self.out_ch:
+            if self.conv_shortcut:
+                x = QConv(self.out_ch, (3, 3), wq=self.wq, aq=self.aq,
+                          name="conv_shortcut")(x, mode)
+            else:
+                x = QConv(self.out_ch, (1, 1), padding="VALID", wq=self.wq,
+                          aq=self.aq, split=self.split,
+                          name="nin_shortcut")(x, mode)
+        out = x + h
+        if mode.capture:
+            self.sow("taps", "block_out", out, reduce_fn=_sow_reduce)
+        return out
+
+    def inner_taps(self, in_ch: int) -> List[Tuple[str, ...]]:
+        """Ordered QuantModule output taps (reference hook order,
+        block_recon.py:47-49 over modules()); the FBR loss excludes the last."""
+        taps = [("conv1",), ("temb_proj",), ("conv2",)]
+        if in_ch != self.out_ch:
+            taps.append(("conv_shortcut",) if self.conv_shortcut
+                        else ("nin_shortcut",))
+        return taps
+
+
+class AttnBlockD(nn.Module):
+    """DDPM self-attention block (diffusion.py:144-196 / quant_block.py:398-451).
+
+    Quantizer placement (CIFAR flavour): q and k are quantized *unscaled*
+    after their 1×1 convs; the softmax output is quantized at sm_abit and v
+    at act_bit before the second matmul.
+    """
+
+    wq: QuantizerSpec
+    aq: QuantizerSpec
+    aq_w: QuantizerSpec          # softmax-output quantizer spec (sm_abit)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mode: QuantMode) -> jnp.ndarray:
+        if mode.capture:
+            self.sow("taps", "block_in", x, reduce_fn=_sow_reduce)
+        n, hh, ww, c = x.shape
+        h = group_norm()(x)
+        q = QConv(c, (1, 1), padding="VALID", wq=self.wq, aq=self.aq,
+                  name="q")(h, mode)
+        k = QConv(c, (1, 1), padding="VALID", wq=self.wq, aq=self.aq,
+                  name="k")(h, mode)
+        v = QConv(c, (1, 1), padding="VALID", wq=self.wq, aq=self.aq,
+                  name="v")(h, mode)
+        q = q.reshape(n, hh * ww, c)
+        k = k.reshape(n, hh * ww, c)
+        v = v.reshape(n, hh * ww, c)
+
+        if mode.a_quant or mode.calib_a:
+            q = ActQuantizer(self.aq, name="act_quantizer_q")(q, mode)
+            k = ActQuantizer(self.aq, name="act_quantizer_k")(k, mode)
+        w = jnp.einsum("nic,njc->nij", q, k,
+                       preferred_element_type=jnp.float32) * (c ** -0.5)
+        w = jax.nn.softmax(w, axis=-1)
+        if mode.a_quant or mode.calib_a:
+            v = ActQuantizer(self.aq, name="act_quantizer_v")(v, mode)
+            w = ActQuantizer(self.aq_w, name="act_quantizer_w")(w, mode)
+        h = jnp.einsum("nij,njc->nic", w, v,
+                       preferred_element_type=jnp.float32)
+        h = h.reshape(n, hh, ww, c)
+        h = QConv(c, (1, 1), padding="VALID", wq=self.wq, aq=self.aq,
+                  name="proj_out")(h, mode)
+        out = x + h
+        if mode.capture:
+            self.sow("taps", "block_out", out, reduce_fn=_sow_reduce)
+        return out
+
+    def inner_taps(self, in_ch: int = 0) -> List[Tuple[str, ...]]:
+        return [("q",), ("k",), ("v",), ("proj_out",)]
+
+
+class Downsample(nn.Module):
+    """Stride-2 conv with the reference's asymmetric (0,1) padding
+    (diffusion.py:55-74)."""
+
+    wq: QuantizerSpec
+    aq: QuantizerSpec
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mode: QuantMode) -> jnp.ndarray:
+        c = x.shape[-1]
+        return QConv(c, (3, 3), strides=(2, 2), padding=((0, 1), (0, 1)),
+                     wq=self.wq, aq=self.aq, name="conv")(x, mode)
+
+
+class Upsample(nn.Module):
+    """2× nearest upsample + 3×3 conv (diffusion.py:36-52)."""
+
+    wq: QuantizerSpec
+    aq: QuantizerSpec
+    aq_override: Optional[QuantizerSpec] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mode: QuantMode) -> jnp.ndarray:
+        c = x.shape[-1]
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        aq = self.aq_override or self.aq
+        return QConv(c, (3, 3), wq=self.wq, aq=aq, name="conv")(x, mode)
+
+
+class DownLevel(nn.Module):
+    cfg: DDPMConfig
+    level: int
+    wq: QuantizerSpec
+    aq: QuantizerSpec
+    aq_w: QuantizerSpec
+
+    def setup(self):
+        cfg = self.cfg
+        curr_res = cfg.resolution // (2 ** self.level)
+        block_out = cfg.ch * cfg.ch_mult[self.level]
+        self.block = [ResnetBlockD(block_out, cfg.temb_ch, self.wq, self.aq)
+                      for _ in range(cfg.num_res_blocks)]
+        self.attn = ([AttnBlockD(self.wq, self.aq, self.aq_w)
+                      for _ in range(cfg.num_res_blocks)]
+                     if curr_res in cfg.attn_resolutions else [])
+        if self.level != cfg.num_resolutions - 1:
+            self.downsample = Downsample(self.wq, self.aq)
+
+    def __call__(self, h, temb, mode):
+        outs = []
+        for i, blk in enumerate(self.block):
+            h = blk(h, temb, mode)
+            if self.attn:
+                h = self.attn[i](h, mode)
+            outs.append(h)
+        if self.level != self.cfg.num_resolutions - 1:
+            h = self.downsample(h, mode)
+            outs.append(h)
+        return h, outs
+
+
+class UpLevel(nn.Module):
+    cfg: DDPMConfig
+    level: int
+    wq: QuantizerSpec
+    aq: QuantizerSpec
+    aq_w: QuantizerSpec
+    split_channels: Tuple[int, ...]     # h-channels before each concat, or 0s
+    aq_upsample_override: Optional[QuantizerSpec] = None
+
+    def setup(self):
+        cfg = self.cfg
+        curr_res = cfg.resolution // (2 ** self.level)
+        block_out = cfg.ch * cfg.ch_mult[self.level]
+        self.block = [
+            ResnetBlockD(block_out, cfg.temb_ch, self.wq, self.aq,
+                         split=self.split_channels[i])
+            for i in range(cfg.num_res_blocks + 1)]
+        self.attn = ([AttnBlockD(self.wq, self.aq, self.aq_w)
+                      for _ in range(cfg.num_res_blocks + 1)]
+                     if curr_res in cfg.attn_resolutions else [])
+        if self.level != 0:
+            self.upsample = Upsample(self.wq, self.aq,
+                                     aq_override=self.aq_upsample_override)
+
+    def __call__(self, h, skips: List[jnp.ndarray], temb, mode):
+        for i, blk in enumerate(self.block):
+            h = blk(jnp.concatenate([h, skips.pop()], axis=-1), temb, mode)
+            if self.attn:
+                h = self.attn[i](h, mode)
+        if self.level != 0:
+            h = self.upsample(h, mode)
+        return h
+
+
+class DDPMUNet(nn.Module):
+    """The full pixel-space UNet (diffusion.py:199-392)."""
+
+    cfg: DDPMConfig = DDPMConfig()
+    qc: QuantConfig = QuantConfig()
+
+    def setup(self):
+        cfg, qc = self.cfg, self.qc
+        wq, aq = qc.wq, qc.aq
+        # CIFAR softmax-weight quantizer: bits only (quant_block.py:414-416)
+        aq_w = qc.aq_softmax(always_zero=False)
+        self._wq, self._aq, self._aq_w = wq, aq, aq_w
+
+        # first/last policy (quant_model.py:77-95): first registered weight
+        # quantizer = temb dense 0; last = conv_out
+        self.temb_dense_0 = QDense(cfg.temb_ch, wq=wq.with_bits(8), aq=aq)
+        self.temb_dense_1 = QDense(cfg.temb_ch, wq=wq, aq=aq)
+        self.conv_in = QConv(cfg.ch, (3, 3), wq=wq, aq=aq)
+
+        self.down = [DownLevel(cfg, i, wq, aq, aq_w)
+                     for i in range(cfg.num_resolutions)]
+
+        mid_ch = cfg.ch * cfg.ch_mult[-1]
+        self.mid_block_1 = ResnetBlockD(mid_ch, cfg.temb_ch, wq, aq)
+        self.mid_attn_1 = AttnBlockD(wq, aq, aq_w)
+        self.mid_block_2 = ResnetBlockD(mid_ch, cfg.temb_ch, wq, aq)
+
+        self.up = [
+            UpLevel(cfg, i, wq, aq, aq_w,
+                    split_channels=self._split_channels(i),
+                    aq_upsample_override=(
+                        # second-to-last registered act quantizer → 8 bit
+                        aq.with_bits(8)
+                        if i == cfg.num_resolutions - 1 else None))
+            for i in range(cfg.num_resolutions)]
+
+        self.conv_out = QConv(cfg.out_ch, (3, 3), wq=wq.with_bits(8), aq=aq,
+                              disable_act_quant=True)
+
+    # ------------------------------------------------------------------
+    def _split_channels(self, level: int) -> Tuple[int, ...]:
+        """Channels of h entering each up-block concat (h.size(1) in
+        diffusion.py:356-357), used as the static split point."""
+        if not self.qc.split:
+            return tuple(0 for _ in range(self.cfg.num_res_blocks + 1))
+        cfg = self.cfg
+        block_out = cfg.ch * cfg.ch_mult[level]
+        if level == cfg.num_resolutions - 1:
+            first = cfg.ch * cfg.ch_mult[-1]        # straight out of mid
+        else:
+            first = cfg.ch * cfg.ch_mult[level + 1]  # after upsample above
+        chans = [first] + [block_out] * cfg.num_res_blocks
+        return tuple(chans)
+
+    def __call__(self, x: jnp.ndarray, t: jnp.ndarray,
+                 mode: QuantMode = QuantMode()) -> jnp.ndarray:
+        cfg = self.cfg
+        temb = timestep_embedding(t, cfg.ch)
+        temb = self.temb_dense_0(temb, mode)
+        temb = self.temb_dense_1(swish(temb), mode)
+        if mode.capture:
+            self.sow("taps", "temb", temb, reduce_fn=_sow_reduce)
+
+        hs = [self.conv_in(x, mode)]
+        h = hs[-1]
+        for lvl in self.down:
+            h, outs = lvl(h, temb, mode)
+            hs.extend(outs)
+
+        h = self.mid_block_1(h, temb, mode)
+        h = self.mid_attn_1(h, mode)
+        h = self.mid_block_2(h, temb, mode)
+
+        for i in reversed(range(cfg.num_resolutions)):
+            h = self.up[i](h, hs, temb, mode)
+
+        h = swish(nn.GroupNorm(num_groups=32, epsilon=1e-6,
+                               name="norm_out")(h))
+        return self.conv_out(h, mode)

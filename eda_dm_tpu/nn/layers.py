@@ -1,0 +1,276 @@
+"""Quantization-aware flax layers.
+
+TPU-native replacement for the reference's module surgery: where the
+reference wraps ``nn.Conv2d/Linear`` into ``QuantModule`` at runtime
+(/root/reference/qdiff/quant_model.py:26-44, qdiff/quant_layer.py:360-446),
+here every conv/dense is *born* quantization-aware.  Behaviour is selected by
+a static :class:`~eda_dm_tpu.quant.QuantMode`; quantizer state (scales,
+zero-points, AdaRound alphas, EMA ranges) lives in the ``'quant'`` variable
+collection; captured intermediates go to the ``'taps'`` collection.
+
+Collections
+-----------
+params : FP weights (kernel/bias), frozen during PTQ.
+quant  : per-layer quantizer state.  Weight side: ``w_delta, w_zp, w_alpha``
+         (+ ``w_delta_1, ...`` twins for split layers).  Activation side
+         (inside ActQuantizer submodules): ``delta, zero_point, running_min,
+         running_max, one_side, inited``.
+taps   : sown intermediates (layer/block inputs and outputs) when
+         ``mode.capture`` — the functional replacement for the reference's
+         forward hooks (qdiff/data_utils.py:85-104, qdiff/utils.py:12-23).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..quant.config import QuantizerSpec, QuantMode
+from ..quant import affine, search, adaround
+
+
+def _sow_reduce(prev, new):
+    """Keep only the latest value (no tuple accumulation)."""
+    return new
+
+
+class ActQuantizer(nn.Module):
+    """Activation fake-quantizer with streaming MSE calibration.
+
+    Functional equivalent of a leaf ``UniformAffineQuantizer``
+    (/root/reference/qdiff/quant_layer.py:36-357) in its activation role:
+    while calibrating (``mode.calib_a``) each forward runs the MSE range
+    search on the live batch, EMA-updates the running range
+    (quant_layer.py:79-85) and re-derives (delta, zero_point); afterwards the
+    frozen state is used.  QDrop stochastic bypass (quant_layer.py:271-274)
+    activates under ``mode.training`` via the 'qdrop' rng stream.
+    """
+
+    spec: QuantizerSpec
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mode: QuantMode) -> jnp.ndarray:
+        dtype = jnp.float32
+        delta = self.variable("quant", "delta", lambda: jnp.ones((), dtype))
+        zero_point = self.variable("quant", "zero_point",
+                                   lambda: jnp.zeros((), dtype))
+        running_min = self.variable("quant", "running_min",
+                                    lambda: jnp.zeros((), dtype))
+        running_max = self.variable("quant", "running_max",
+                                    lambda: jnp.zeros((), dtype))
+        one_side = self.variable("quant", "one_side",
+                                 lambda: jnp.zeros((), jnp.int32))
+        inited = self.variable("quant", "inited",
+                               lambda: jnp.zeros((), jnp.bool_))
+
+        if not (mode.a_quant or mode.calib_a):
+            return x
+
+        spec = self.spec
+        if mode.calib_a:
+            xf = x.reshape(-1).astype(dtype)
+            side = jnp.where(one_side.value == search.ONE_SIDE_UNSET,
+                             search.detect_one_side(xf), one_side.value)
+            lo, hi = search.search_range(xf, spec.n_levels, side,
+                                         spec.symmetric, spec.num_candidates)
+            # EMA range update; first batch seeds the running range
+            new_min = jnp.where(inited.value,
+                                affine.ema_update(running_min.value,
+                                                  running_max.value, lo, hi)[0],
+                                lo)
+            new_max = jnp.where(inited.value,
+                                affine.ema_update(running_min.value,
+                                                  running_max.value, lo, hi)[1],
+                                hi)
+            d, zp = affine.calculate_qparams(new_min, new_max, spec.n_levels,
+                                             spec.always_zero)
+            one_side.value = side
+            running_min.value = new_min
+            running_max.value = new_max
+            delta.value = d
+            zero_point.value = zp
+            inited.value = jnp.ones((), jnp.bool_)
+        else:
+            d, zp = delta.value, zero_point.value
+
+        x_fq = affine.fake_quant(x, d, zp, spec.n_levels)
+        if mode.training and spec.prob < 1.0:
+            x_fq = affine.qdrop(x_fq, x, spec.prob, self.make_rng("qdrop"))
+        return x_fq
+
+
+class _WeightQuant:
+    """Helper mixing weight-quantizer state into QConv/QDense.
+
+    Weight scales are computed one-shot from the parameter tensor (the
+    reference reaches the same values via a lazy first forward,
+    quant_layer.py:246-263); AdaRound alpha is initialized so hard rounding
+    equals round-to-nearest, replacing the reference's quantizer swap
+    (block_recon.py:50-64) with a no-op state transition.
+    """
+
+    @staticmethod
+    def make(mdl: nn.Module, name: str, kernel: jnp.ndarray,
+             spec: QuantizerSpec, mode: QuantMode, channel_axis: int):
+        shape = [1] * kernel.ndim
+        shape[channel_axis] = kernel.shape[channel_axis]
+        delta = mdl.variable("quant", f"{name}_delta",
+                             lambda: jnp.ones(shape, jnp.float32))
+        zp = mdl.variable("quant", f"{name}_zp",
+                          lambda: jnp.zeros(shape, jnp.float32))
+        alpha = mdl.variable("quant", f"{name}_alpha",
+                             lambda: jnp.zeros(kernel.shape, jnp.float32))
+        if mode.calib_w:
+            d, z = search.weight_qparams(
+                kernel, spec.n_levels, spec.symmetric,
+                channel_axis if spec.channel_wise else None,
+                spec.num_candidates, spec.always_zero)
+            if not spec.channel_wise:
+                d = jnp.full(shape, d)
+                z = jnp.full(shape, z)
+            a = adaround.init_alpha(kernel, d)
+            delta.value, zp.value, alpha.value = d, z, a
+            return d, z, a
+        return delta.value, zp.value, alpha.value
+
+    @staticmethod
+    def quantize(kernel, delta, zp, alpha, spec: QuantizerSpec,
+                 mode: QuantMode):
+        return adaround.adaround_fake_quant(kernel, delta, zp, alpha,
+                                            spec.n_levels, mode.soft_targets)
+
+
+class QConv(nn.Module):
+    """Quantization-aware NHWC convolution.
+
+    Mirrors the roles of ``QuantModule`` wrapping a Conv2d
+    (/root/reference/qdiff/quant_layer.py:360-437): input activation
+    fake-quant, weight fake-quant (AdaRound-parameterized), and the
+    split-shortcut dual-quantizer path — ``split > 0`` quantizes input
+    channels ``[:split]`` and ``[split:]`` with independent scale pairs
+    (quant_layer.py:406-437, Q-Diffusion's concat-skip trick).
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = "SAME"               # or explicit ((t,b),(l,r))
+    wq: QuantizerSpec = QuantizerSpec()
+    aq: QuantizerSpec = QuantizerSpec()
+    split: int = 0
+    disable_act_quant: bool = False     # network output layer (quant_model.py:90-95)
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mode: QuantMode) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (*self.kernel_size, in_ch, self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+
+        if mode.capture:
+            self.sow("taps", "in", x, reduce_fn=_sow_reduce)
+
+        # --- activation quantization --------------------------------------
+        do_act = not self.disable_act_quant
+        if self.split > 0:
+            q0 = ActQuantizer(self.aq, name="act_quantizer")
+            q1 = ActQuantizer(self.aq, name="act_quantizer_1")
+            if do_act:
+                x = jnp.concatenate([q0(x[..., :self.split], mode),
+                                     q1(x[..., self.split:], mode)], axis=-1)
+        else:
+            q0 = ActQuantizer(self.aq, name="act_quantizer")
+            if do_act:
+                x = q0(x, mode)
+
+        # --- weight quantization ------------------------------------------
+        if self.split > 0:
+            k0, k1 = kernel[:, :, :self.split, :], kernel[:, :, self.split:, :]
+            d0, z0, a0 = _WeightQuant.make(self, "w0", k0, self.wq, mode, 3)
+            d1, z1, a1 = _WeightQuant.make(self, "w1", k1, self.wq, mode, 3)
+            if mode.w_quant:
+                k0 = _WeightQuant.quantize(k0, d0, z0, a0, self.wq, mode)
+                k1 = _WeightQuant.quantize(k1, d1, z1, a1, self.wq, mode)
+            w = jnp.concatenate([k0, k1], axis=2)
+        else:
+            d, z, a = _WeightQuant.make(self, "w0", kernel, self.wq, mode, 3)
+            w = (_WeightQuant.quantize(kernel, d, z, a, self.wq, mode)
+                 if mode.w_quant else kernel)
+
+        out = jax.lax.conv_general_dilated(
+            x, w, window_strides=self.strides, padding=self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if bias is not None:
+            out = out + bias
+
+        if mode.capture:
+            self.sow("taps", "out", out, reduce_fn=_sow_reduce)
+        return out
+
+
+class QDense(nn.Module):
+    """Quantization-aware dense layer (QuantModule wrapping nn.Linear)."""
+
+    features: int
+    wq: QuantizerSpec = QuantizerSpec()
+    aq: QuantizerSpec = QuantizerSpec()
+    disable_act_quant: bool = False
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mode: QuantMode) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_ch, self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+
+        if mode.capture:
+            self.sow("taps", "in", x, reduce_fn=_sow_reduce)
+
+        if not self.disable_act_quant:
+            x = ActQuantizer(self.aq, name="act_quantizer")(x, mode)
+
+        d, z, a = _WeightQuant.make(self, "w0", kernel, self.wq, mode, 1)
+        w = (_WeightQuant.quantize(kernel, d, z, a, self.wq, mode)
+             if mode.w_quant else kernel)
+
+        out = x @ w
+        if bias is not None:
+            out = out + bias
+        if mode.capture:
+            self.sow("taps", "out", out, reduce_fn=_sow_reduce)
+        return out
+
+
+def group_norm(num_groups: int = 32, eps: float = 1e-6) -> nn.GroupNorm:
+    """GroupNorm(32, eps=1e-6) as used by every norm in both model zoos
+    (ddim/models/diffusion.py:32-33, ldm openaimodel normalization)."""
+    return nn.GroupNorm(num_groups=num_groups, epsilon=eps)
+
+
+def swish(x: jnp.ndarray) -> jnp.ndarray:
+    """x * sigmoid(x) (ddim/models/diffusion.py:27-29)."""
+    return jax.nn.silu(x)
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int,
+                       max_period: float = 10000.0) -> jnp.ndarray:
+    """Sinusoidal timestep embedding, [sin | cos] order.
+
+    Matches ``get_timestep_embedding`` (ddim/models/diffusion.py:6-24):
+    freqs = exp(-ln(10000) * arange(half) / (half - 1)).
+    """
+    half = dim // 2
+    freqs = jnp.exp(-jnp.log(max_period) *
+                    jnp.arange(half, dtype=jnp.float32) / (half - 1))
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb

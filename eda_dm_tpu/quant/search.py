@@ -1,0 +1,231 @@
+"""MSE (L^2.4) quantization-range search.
+
+TPU-native rewrite of the reference's grid searches
+(``perform_1D_search`` / ``perform_2D_search`` at
+/root/reference/qdiff/quant_layer.py:120-213): the Python loops over
+candidate thresholds become a single vectorized candidate axis (1-D search)
+or a ``lax.scan`` over ranges with a vectorized zero-point axis (2-D search).
+Everything is a pure function of the input tensor, usable under jit and vmap.
+
+One-side-distribution codes (sticky across calibration batches, mirroring
+``one_side_dist`` at quant_layer.py:218-219):
+    0 = unset, 1 = 'pos', 2 = 'neg', 3 = 'no' (two-sided).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from functools import partial
+
+from .affine import EPS, calculate_qparams
+
+SEARCH_P = 2.4  # L_p exponent used by every scale search in the reference
+
+ONE_SIDE_UNSET, ONE_SIDE_POS, ONE_SIDE_NEG, ONE_SIDE_NO = 0, 1, 2, 3
+
+
+def detect_one_side(x: jnp.ndarray) -> jnp.ndarray:
+    """Classify the distribution of ``x`` (whole tensor, even channel-wise).
+
+    Reference: quant_layer.py:219.
+    """
+    pos = jnp.min(x) >= 0.0
+    neg = jnp.max(x) <= 0.0
+    return jnp.where(pos, ONE_SIDE_POS, jnp.where(neg, ONE_SIDE_NEG, ONE_SIDE_NO)
+                     ).astype(jnp.int32)
+
+
+def _score(x_flat: jnp.ndarray, new_min: jnp.ndarray, new_max: jnp.ndarray,
+           n_levels: int) -> jnp.ndarray:
+    """L^2.4 error of quantizing ``x_flat`` (*, K) to range (new_min, new_max) (*,).
+
+    Candidate/channel axes lead; the reduction is over the trailing axis.
+    Matches the fast path at quant_layer.py:170-192 (which is arithmetically
+    identical to quantize()+lp_loss on these ranges).
+    """
+    scale = jnp.maximum((new_max - new_min) / float(n_levels - 1), EPS)
+    zp = jnp.clip(jnp.round(-new_min / scale), 0.0, n_levels - 1)
+    # pin the symmetric-range boundary (see affine.calculate_qparams)
+    zp = jnp.where(jnp.minimum(new_min, 0.0) == -jnp.maximum(new_max, 0.0),
+                   jnp.full_like(zp, n_levels // 2), zp)
+    scale = scale[..., None]
+    zp = zp[..., None]
+    x_int = jnp.round(x_flat / scale)
+    x_clamped = jnp.clip(x_int, -zp, n_levels - 1 - zp)
+    err = jnp.abs(x_clamped * scale - x_flat) ** SEARCH_P
+    return jnp.mean(err, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("n_levels", "num"))
+def search_range_1d(x_flat: jnp.ndarray, n_levels: int, one_side: jnp.ndarray,
+                    num: int = 100):
+    """1-D symmetric/one-sided threshold search.
+
+    ``x_flat``: (K,) for per-tensor or (C, K) for per-channel search.
+    Returns (best_min, best_max) with shape () or (C,).
+
+    Reference: ``perform_1D_search`` (quant_layer.py:150-213).  Thresholds are
+    ``xrange * i / num`` for i in 1..num with xrange = max(|min|, max)
+    (per channel when channel-wise).
+
+    For two-sided data each threshold is tried with *both* clip-window
+    alignments, zero_point = n_levels/2 and n_levels/2 - 1.  The reference's
+    single candidate per threshold sits exactly on the rounding boundary
+    between the two (round(thres/scale) = 7.5-style), so its float noise picks
+    one arbitrarily; searching both is a strict superset — never worse, and
+    deterministic.
+    """
+    channel_wise = x_flat.ndim == 2
+    x_min = jnp.min(x_flat, axis=-1)
+    x_max = jnp.max(x_flat, axis=-1)
+    xrange = jnp.maximum(jnp.abs(x_min), x_max)          # () or (C,)
+
+    steps = jnp.arange(1, num + 1, dtype=x_flat.dtype) / num   # (num,)
+    thres = xrange[..., None] * steps                    # (num,) or (C, num)
+
+    # two-sided windows with explicit integer zero-points M/2 and M/2-1:
+    # width is always (n_levels-1)*s with s = 2*thres/(n_levels-1)
+    s = 2.0 * thres / float(n_levels - 1)
+    hi_zp = float(n_levels // 2)                         # e.g. 8 at 4 bits
+    lo_zp = float(n_levels // 2 - 1)                     # e.g. 7
+    cand_min = jnp.stack([-hi_zp * s, -lo_zp * s], axis=-1)          # (..., num, 2)
+    cand_max = jnp.stack([(n_levels - 1 - hi_zp) * s,
+                          (n_levels - 1 - lo_zp) * s], axis=-1)
+
+    pos = one_side == ONE_SIDE_POS
+    neg = one_side == ONE_SIDE_NEG
+    one_sided_min = jnp.where(pos, 0.0, -thres)[..., None]
+    one_sided_max = jnp.where(neg, 0.0, thres)[..., None]
+    two_sided = jnp.logical_not(pos | neg)
+    new_min = jnp.where(two_sided, cand_min, one_sided_min)
+    new_max = jnp.where(two_sided, cand_max, one_sided_max)
+    new_min = new_min.reshape(*new_min.shape[:-2], 2 * num)
+    new_max = new_max.reshape(*new_max.shape[:-2], 2 * num)
+
+    if channel_wise:
+        scores = _score(x_flat[:, None, :], new_min, new_max, n_levels)
+    else:
+        scores = _score(x_flat[None, :], new_min, new_max, n_levels)
+    idx = jnp.argmin(scores, axis=-1)
+    best_min = jnp.take_along_axis(new_min, idx[..., None], axis=-1)[..., 0]
+    best_max = jnp.take_along_axis(new_max, idx[..., None], axis=-1)[..., 0]
+    return best_min, best_max
+
+
+@partial(jax.jit, static_argnames=("n_levels", "num", "zp_chunk"))
+def search_range_2d(x_flat: jnp.ndarray, n_levels: int, num: int = 100,
+                    zp_chunk: int = 16):
+    """2-D (range × zero-point) search for asymmetric two-sided tensors.
+
+    Reference: ``perform_2D_search`` (quant_layer.py:120-147).  For each of
+    ``num`` candidate ranges (delta fixed), every integer zero-point in
+    [0, n_levels) shifts the clipping window; the best (min, max) over all
+    pairs is returned.  Scanned over ranges and chunked over zero-points to
+    bound memory.
+    """
+    channel_wise = x_flat.ndim == 2
+    x_min = jnp.minimum(jnp.min(x_flat, axis=-1), 0.0)
+    x_max = jnp.maximum(jnp.max(x_flat, axis=-1), 0.0)
+    xrange = x_max - x_min                                  # () or (C,)
+
+    n_zp = n_levels
+    pad = (-n_zp) % zp_chunk
+    zps = jnp.arange(0, n_zp + pad, dtype=x_flat.dtype)     # padded to chunk
+    valid = zps < n_zp
+    zps = zps.reshape(-1, zp_chunk)
+    valid = valid.reshape(-1, zp_chunk)
+
+    lead = x_flat.shape[:-1]                                # () or (C,)
+
+    def range_step(carry, i):
+        best_score, best_min, best_max = carry
+        tmp_max = xrange * (i.astype(x_flat.dtype) / num)   # () or (C,)
+        tmp_delta = tmp_max / float(n_levels - 1)
+
+        def zp_step(carry, zc):
+            zp_vals, ok = zc                                # (zp_chunk,)
+            best_score, best_min, best_max = carry
+            # candidate windows: new_min = -zp*delta, new_max = tmp_max - zp*delta
+            nm = -zp_vals * tmp_delta[..., None]            # (..., zp_chunk)
+            nx = tmp_max[..., None] - zp_vals * tmp_delta[..., None]
+            if channel_wise:
+                sc = _score(x_flat[:, None, :], nm, nx, n_levels)   # (C, chunk)
+            else:
+                sc = _score(x_flat[None, :], nm, nx, n_levels)      # (chunk,)
+            sc = jnp.where(ok, sc, jnp.inf)
+            j = jnp.argmin(sc, axis=-1)
+            sc_b = jnp.take_along_axis(sc, j[..., None], axis=-1)[..., 0]
+            nm_b = jnp.take_along_axis(nm, j[..., None], axis=-1)[..., 0]
+            nx_b = jnp.take_along_axis(nx, j[..., None], axis=-1)[..., 0]
+            upd = sc_b < best_score
+            return (jnp.where(upd, sc_b, best_score),
+                    jnp.where(upd, nm_b, best_min),
+                    jnp.where(upd, nx_b, best_max)), None
+
+        carry, _ = jax.lax.scan(zp_step, (best_score, best_min, best_max),
+                                (zps, valid))
+        return carry, None
+
+    init = (jnp.full(lead, jnp.inf, x_flat.dtype),
+            jnp.broadcast_to(x_min, lead).astype(x_flat.dtype),
+            jnp.broadcast_to(x_max, lead).astype(x_flat.dtype))
+    (best_score, best_min, best_max), _ = jax.lax.scan(
+        range_step, init, jnp.arange(1, num + 1))
+    return best_min, best_max
+
+
+def search_range(x_flat: jnp.ndarray, n_levels: int, one_side: jnp.ndarray,
+                 symmetric: bool, num: int = 100):
+    """Dispatch 1-D vs 2-D search like ``get_x_min_x_max`` (quant_layer.py:215-226).
+
+    1-D when the distribution is one-sided *or* the quantizer is symmetric;
+    otherwise the full 2-D search.  ``symmetric`` is static, so the expensive
+    2-D graph is only traced when it can actually be selected; the one-sided
+    runtime condition is handled with lax.cond.
+    """
+    if symmetric:
+        return search_range_1d(x_flat, n_levels, one_side, num)
+
+    def do_1d(x):
+        return search_range_1d(x, n_levels, one_side, num)
+
+    def do_2d(x):
+        return search_range_2d(x, n_levels, num)
+
+    return jax.lax.cond(one_side != ONE_SIDE_NO, do_1d, do_2d, x_flat)
+
+
+def channelwise_view(x: jnp.ndarray, channel_axis: int) -> jnp.ndarray:
+    """Flatten ``x`` to (C, K) with the quantization-channel axis leading."""
+    x = jnp.moveaxis(x, channel_axis, 0)
+    return x.reshape(x.shape[0], -1)
+
+
+@partial(jax.jit, static_argnames=("n_levels", "symmetric", "channel_axis",
+                                   "num", "always_zero"))
+def weight_qparams(w: jnp.ndarray, n_levels: int, symmetric: bool,
+                   channel_axis: int | None, num: int = 100,
+                   always_zero: bool = False):
+    """One-shot (delta, zero_point) for a weight tensor.
+
+    Replaces the reference's lazy first-forward init
+    (quant_layer.py:246-263 with channel_wise=True): per-output-channel MSE
+    search directly on the parameter tensor — no forward pass needed.
+    Returns per-channel arrays shaped for broadcasting against ``w`` when
+    ``channel_axis`` is given, else scalars.
+    """
+    if channel_axis is None:
+        flat = w.reshape(-1)
+    else:
+        flat = channelwise_view(w, channel_axis)
+    one_side = detect_one_side(w)
+    best_min, best_max = search_range(flat, n_levels, one_side, symmetric, num)
+    delta, zp = calculate_qparams(best_min, best_max, n_levels, always_zero)
+    if channel_axis is not None:
+        shape = [1] * w.ndim
+        shape[channel_axis] = w.shape[channel_axis]
+        delta = delta.reshape(shape)
+        zp = zp.reshape(shape)
+    return delta, zp
