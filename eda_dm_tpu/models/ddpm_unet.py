@@ -290,6 +290,7 @@ class DDPMUNet(nn.Module):
                         if i == cfg.num_resolutions - 1 else None))
             for i in range(cfg.num_resolutions)]
 
+        self.norm_out = nn.GroupNorm(num_groups=32, epsilon=1e-6)
         self.conv_out = QConv(cfg.out_ch, (3, 3), wq=wq.with_bits(8), aq=aq,
                               disable_act_quant=True)
 
@@ -330,6 +331,5 @@ class DDPMUNet(nn.Module):
         for i in reversed(range(cfg.num_resolutions)):
             h = self.up[i](h, hs, temb, mode)
 
-        h = swish(nn.GroupNorm(num_groups=32, epsilon=1e-6,
-                               name="norm_out")(h))
+        h = swish(self.norm_out(h))
         return self.conv_out(h, mode)

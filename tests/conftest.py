@@ -16,6 +16,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
+
+# the CPU backend's default matmul precision is bfloat16-class; numerical
+# parity tests need real float32 matmuls
+jax.config.update("jax_default_matmul_precision", "highest")
+
 import pytest
 
 REFERENCE = "/root/reference"
