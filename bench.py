@@ -1,0 +1,65 @@
+"""Benchmark: W4A8 UNet denoise steps/sec/chip on the CIFAR-10 DDPM UNet.
+
+Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+``value`` is quantized (W4A8 fake-quant) denoise model evaluations per
+second per chip at the reference's FID sampling batch size (500,
+configs/cifar10.yml sampling.batch_size).  ``vs_baseline`` is the ratio vs
+the FP32 forward on the same chip — the analogue of the reference's
+"acceleration vs FP" headline (README.md:92-124), which for the reference
+requires external INT CUDA kernels; here the fake-quant path runs extra
+elementwise work, so >1 requires the real int8 MXU path (later rounds).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from eda_dm_tpu.models.ddpm_unet import DDPMUNet, DDPMConfig
+    from eda_dm_tpu.quant import QuantConfig, QuantMode, FP, WAQ
+
+    arch = DDPMConfig()          # full CIFAR-10 architecture (35M params)
+    model = DDPMUNet(cfg=arch, qc=QuantConfig(weight_bit=4, act_bit=8))
+    key = jax.random.PRNGKey(0)
+    batch = 500
+    x = jax.random.normal(key, (batch, 32, 32, 3))
+    t = jnp.full((batch,), 500.0)
+
+    small = (jax.random.normal(key, (8, 32, 32, 3)), jnp.full((8,), 1.0))
+    variables = jax.jit(lambda: model.init(key, *small, FP))()
+    _, upd = jax.jit(lambda v: model.apply(
+        v, *small, QuantMode(w_quant=True, calib_w=True),
+        mutable=["quant"]))(variables)
+    variables = {**variables, "quant": upd["quant"]}
+    _, upd = jax.jit(lambda v: model.apply(
+        v, *small, QuantMode(w_quant=True, a_quant=True, calib_a=True),
+        mutable=["quant"]))(variables)
+    variables = {**variables, "quant": upd["quant"]}
+
+    def bench_mode(mode, iters=10):
+        fn = jax.jit(lambda v, x, t: model.apply(v, x, t, mode))
+        fn(variables, x, t).block_until_ready()          # compile
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(variables, x, t)
+        out.block_until_ready()
+        return iters / (time.perf_counter() - t0)
+
+    q_sps = bench_mode(WAQ)
+    fp_sps = bench_mode(FP)
+
+    print(json.dumps({
+        "metric": "W4A8 UNet denoise steps/sec/chip (batch 500, CIFAR arch)",
+        "value": round(q_sps, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(q_sps / fp_sps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

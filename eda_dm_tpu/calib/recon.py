@@ -1,0 +1,319 @@
+"""AdaRound + FBR reconstruction engine.
+
+Functional rebuild of the reference's layer/block reconstruction
+(/root/reference/qdiff/layer_recon.py:13-129, qdiff/block_recon.py:13-232)
+and its capture machinery (qdiff/data_utils.py:7-171):
+
+* **Capture** — instead of forward hooks + StopForwardException, the model is
+  applied once in capture mode with ``mutable=['taps']`` and only the target
+  block's subtree is returned; XLA dead-code-eliminates every layer after the
+  target (the reference's "early abort" for free).  The asymmetric
+  (quant-input) capture simply runs the same graph in quantized mode — the
+  prefix uses whatever quantizer state earlier reconstructions produced,
+  reproducing the reference's block-order dependence
+  (data_utils.py:141-151).
+* **Optimization** — each target runs one jitted ``lax.scan`` over
+  iterations: random minibatch gather, QDrop input mixing
+  (block_recon.py:141-145), one block forward with inner taps, the FBR loss
+  (block output + add_loss · Σ inner-layer losses excluding the last,
+  block_recon.py:186-195), and two Adam groups (alphas at lr_w, activation
+  deltas at lr_a) under cosine schedules (block_recon.py:110-117).
+
+Deviation from the reference (documented): the reference recomputes the FP
+("module full") inner activations every iteration on the fixed FP inputs
+(block_recon.py:158-178); those are constant per sample, so they are captured
+once and reused — one block forward per step instead of three, same math.
+The quantized forward is likewise evaluated once per step (the reference
+evaluates it twice with independent dropout masks; only the dropout noise
+differs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import flax.linen as nn
+
+from ..quant.config import QuantMode
+from ..quant.affine import lp_loss
+from ..quant.adaround import round_regularization, soft_targets
+from ..utils.tree import (get_subtree, set_subtree, deep_merge,
+                          partition_leaves)
+
+
+@dataclasses.dataclass(frozen=True)
+class ReconTarget:
+    """One reconstruction unit (a QuantModule or a quant block)."""
+    name: str
+    path: Tuple[str, ...]
+    module: nn.Module           # standalone module matching the subtree
+    kind: str                   # 'block' | 'layer'
+    has_temb: bool = False
+    # ordered inner QuantModule tap paths (reference hook order); the FBR
+    # loss sums all but the last (block_recon.py:187-191)
+    inner_taps: Tuple[Tuple[str, ...], ...] = ()
+
+
+@dataclasses.dataclass(frozen=True)
+class ReconArgs:
+    """Reference hyperparameters (scripts/sample_diffusion_ddim.py:291-307)."""
+    iters: int = 5000
+    batch_size: int = 32
+    lr_w: float = 5e-1
+    lr_a: float = 5e-4
+    add_loss: float = 0.8
+    input_prob: float = 0.5
+    p: float = 2.0
+    act_quant: bool = True
+    asym: bool = True
+    recon_w: bool = True
+    recon_a: bool = True
+    # rounding-relaxation regularizer (inactive: loss_mode='none' in every
+    # reference pipeline, layer_recon.py:88 / block_recon.py:119)
+    round_loss: str = "none"
+    weight: float = 1e-4
+    b_range: Tuple[int, int] = (20, 2)
+    warmup: float = 0.2
+    capture_batch_size: Optional[int] = None
+
+
+# --------------------------------------------------------------------------
+# capture
+# --------------------------------------------------------------------------
+
+FP_CAPTURE = QuantMode(capture=True)
+
+
+def quant_capture_mode(act_quant: bool) -> QuantMode:
+    return QuantMode(w_quant=True, a_quant=act_quant, capture=True)
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def _capture_batch(model, variables, batch, path: Tuple[str, ...],
+                   mode: QuantMode):
+    """Run the model, return (target-subtree taps, quantized temb tap).
+
+    Only the selected subtree escapes the jit, so XLA prunes the suffix — the
+    functional analogue of DataSaverHook's StopForwardException
+    (data_utils.py:78-104).
+    """
+    _, taps = model.apply(variables, *batch, mode, mutable=["taps"])
+    sub = get_subtree(taps["taps"], path)
+    temb = taps["taps"].get("temb")
+    return sub, temb
+
+
+def capture_target(model, variables, cali_data: Sequence, target: ReconTarget,
+                   mode: QuantMode, batch_size: Optional[int] = None):
+    """Capture the target's taps over the calibration set, batched."""
+    n = cali_data[0].shape[0]
+    bs = batch_size or n
+    subs, tembs = [], []
+    for i in range(max(1, n // bs)):
+        batch = tuple(a[i * bs:(i + 1) * bs] for a in cali_data)
+        sub, temb = _capture_batch(model, variables, batch, target.path, mode)
+        subs.append(sub)
+        tembs.append(temb)
+    sub = jax.tree.map(lambda *xs: jnp.concatenate(xs), *subs)
+    temb = (jnp.concatenate(tembs) if tembs[0] is not None else None)
+    return sub, temb
+
+
+# --------------------------------------------------------------------------
+# trainable-parameter selection
+# --------------------------------------------------------------------------
+
+def _is_alpha(path: Tuple[str, ...], leaf) -> bool:
+    return path[-1].endswith("_alpha")
+
+
+def _is_act_delta(path: Tuple[str, ...], leaf) -> bool:
+    return (path[-1] == "delta" and len(path) >= 2
+            and path[-2].startswith("act_quantizer"))
+
+
+def split_trainable(quant_sub: Dict[str, Any], recon_w: bool, recon_a: bool):
+    """Partition a block's quant subtree into (trainable, frozen).
+
+    Trainable = AdaRound alphas (block_recon.py:50-64) and activation-quantizer
+    deltas (block_recon.py:66-108); everything else (weight deltas/zps, EMA
+    state) stays frozen.
+    """
+    def pred(path, leaf):
+        return ((recon_w and _is_alpha(path, leaf)) or
+                (recon_a and _is_act_delta(path, leaf)))
+    return partition_leaves(quant_sub, pred)
+
+
+def _param_labels(train: Dict[str, Any]):
+    def walk(node, path):
+        if not isinstance(node, dict):
+            return "w" if path[-1].endswith("_alpha") else "a"
+        return {k: walk(v, path + (k,)) for k, v in node.items()}
+    return walk(train, ())
+
+
+# --------------------------------------------------------------------------
+# per-target optimization
+# --------------------------------------------------------------------------
+
+def _linear_temp_decay(t, iters: int, warmup: float, b_range):
+    """Temperature b schedule (block_recon.py:305-323)."""
+    start = warmup * iters
+    rel = (t - start) / (iters - start)
+    b = b_range[1] + (b_range[0] - b_range[1]) * jnp.maximum(0.0, 1.0 - rel)
+    return jnp.where(t < start, float(b_range[0]), b)
+
+
+def reconstruct_target(target: ReconTarget, variables: Dict[str, Any],
+                       data: Dict[str, Any], args: ReconArgs,
+                       key: jax.Array) -> Dict[str, Any]:
+    """Optimize one target's rounding masks + act scales; return new variables.
+
+    ``data`` fields: inp_q, inp_s (captured quant/FP block inputs), out_fp
+    (FP block output), optional temb_q/temb_s, inner_fp (tuple of FP inner
+    layer outputs, ordered as target.inner_taps).
+    """
+    block_params = get_subtree(variables["params"], target.path)
+    block_quant = get_subtree(variables["quant"], target.path)
+    train, frozen = split_trainable(block_quant, args.recon_w, args.recon_a)
+    if not jax.tree.leaves(train):
+        return variables, jnp.zeros((args.iters,))
+
+    mode = QuantMode(w_quant=True, a_quant=args.act_quant,
+                     soft_targets=args.recon_w, training=True, capture=True)
+
+    n = data["out_fp"].shape[0]
+    bs = min(args.batch_size, n)
+    inner_fp = data.get("inner_fp", ())
+    use_inner = target.kind == "block" and len(inner_fp) > 1 and \
+        args.add_loss > 0.0
+
+    labels = _param_labels(train)
+    w_sched = optax.cosine_decay_schedule(args.lr_w, args.iters)
+    a_sched = optax.cosine_decay_schedule(args.lr_a, args.iters)
+    tx = optax.multi_transform(
+        {"w": optax.adam(w_sched), "a": optax.adam(a_sched)}, labels)
+    opt_state = tx.init(train)
+
+    def forward(train_leaves, x, temb, rng):
+        quant = deep_merge(frozen, train_leaves)
+        vs = {"params": block_params, "quant": quant}
+        if target.has_temb:
+            out, taps = target.module.apply(vs, x, temb, mode,
+                                            mutable=["taps"],
+                                            rngs={"qdrop": rng})
+        else:
+            out, taps = target.module.apply(vs, x, mode, mutable=["taps"],
+                                            rngs={"qdrop": rng})
+        return out, taps["taps"]
+
+    def loss_fn(train_leaves, batch, rng, it):
+        x, temb, out_fp, inners = batch
+        out, taps = forward(train_leaves, x, temb, rng)
+        loss = lp_loss(out, out_fp, args.p, channel_axis=-1)
+        if use_inner:
+            m_loss = 0.0
+            for tap_path, fp_act in zip(target.inner_taps[:-1], inners[:-1]):
+                q_act = get_subtree(taps, tap_path + ("out",))
+                m_loss = m_loss + lp_loss(q_act, fp_act, 2.0, channel_axis=-1)
+            loss = loss + args.add_loss * m_loss
+        if args.round_loss == "relaxation":
+            b = _linear_temp_decay(it, args.iters, args.warmup, args.b_range)
+            reg = sum(round_regularization(v, b) for p, v in
+                      jax.tree_util.tree_flatten_with_path(train_leaves)[0]
+                      if jax.tree_util.keystr(p).endswith("_alpha']"))
+            loss = loss + args.weight * reg
+        return loss
+
+    inp_q, inp_s = data["inp_q"], data["inp_s"]
+    temb_q = data.get("temb_q")
+    dummy_temb = jnp.zeros((bs, 0)) if temb_q is None else None
+
+    def step(carry, it):
+        train_leaves, opt_state, key = carry
+        key, k_idx, k_mix, k_drop = jax.random.split(key, 4)
+        idx = jax.random.choice(k_idx, n, (bs,), replace=False)
+        xq = jnp.take(inp_q, idx, axis=0)
+        xs = jnp.take(inp_s, idx, axis=0)
+        if args.input_prob < 1.0:
+            m = jax.random.uniform(k_mix, xq.shape) < args.input_prob
+            x = jnp.where(m, xq, xs)
+        else:
+            x = xs                     # reference: cur_inp = cur_sym (:145)
+        temb = (jnp.take(temb_q, idx, axis=0) if temb_q is not None
+                else dummy_temb)
+        out_fp = jnp.take(data["out_fp"], idx, axis=0)
+        inners = tuple(jnp.take(a, idx, axis=0) for a in inner_fp)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            train_leaves, (x, temb, out_fp, inners), k_drop,
+            it.astype(jnp.float32))
+        updates, opt_state = tx.update(grads, opt_state, train_leaves)
+        train_leaves = optax.apply_updates(train_leaves, updates)
+        return (train_leaves, opt_state, key), loss
+
+    (train, _, _), losses = jax.lax.scan(
+        step, (train, opt_state, key), jnp.arange(args.iters))
+
+    new_quant_sub = deep_merge(block_quant, train)
+    new_quant = set_subtree(variables["quant"], target.path, new_quant_sub)
+    return {**variables, "quant": new_quant}, losses
+
+
+# --------------------------------------------------------------------------
+# orchestration (recon_block_Qmodel equivalent)
+# --------------------------------------------------------------------------
+
+def build_target_data(model, variables, cali_data, target: ReconTarget,
+                      args: ReconArgs) -> Dict[str, Any]:
+    """FP + quantized captures for one target (save_inp_oup_data equivalent,
+    data_utils.py:7-75)."""
+    fp_sub, fp_temb = capture_target(model, variables, cali_data, target,
+                                     FP_CAPTURE, args.capture_batch_size)
+    q_sub, q_temb = capture_target(
+        model, variables, cali_data, target,
+        quant_capture_mode(args.act_quant) if args.asym else FP_CAPTURE,
+        args.capture_batch_size)
+
+    if target.kind == "block":
+        in_key, out_key = "block_in", "block_out"
+    else:
+        in_key, out_key = "in", "out"
+    data = {
+        "inp_s": fp_sub[in_key],
+        "inp_q": q_sub[in_key],
+        "out_fp": fp_sub[out_key],
+    }
+    if target.has_temb:
+        data["temb_s"] = fp_temb
+        data["temb_q"] = q_temb
+    if target.kind == "block":
+        data["inner_fp"] = tuple(
+            get_subtree(fp_sub, tp + ("out",)) for tp in target.inner_taps)
+    return data
+
+
+def reconstruct(model, variables: Dict[str, Any], cali_data: Sequence,
+                plan: Sequence[ReconTarget], args: ReconArgs,
+                key: jax.Array,
+                progress: Optional[Callable[[str, float], None]] = None):
+    """Sequential block/layer reconstruction over the plan
+    (recon_block_Qmodel.recon, qdiff/recon_block_Qmodel.py:18-94).
+
+    Order matters: each target's quantized-input capture sees the quantizer
+    state produced by all previous targets.
+    """
+    for i, target in enumerate(plan):
+        data = build_target_data(model, variables, cali_data, target, args)
+        key, sub = jax.random.split(key)
+        variables, losses = reconstruct_target(target, variables, data, args,
+                                               sub)
+        if progress is not None:
+            progress(target.name, float(losses[-1]))
+    return variables

@@ -1,0 +1,61 @@
+"""Quantizer scale initialization over a calibration set.
+
+Functional equivalents of the reference's
+``set_weight_quantize_params`` / ``set_act_quantize_params``
+(/root/reference/qdiff/set_quantize_params.py:9-71): instead of un-initing
+lazy quantizers and streaming forwards through mutated modules, we run the
+model in the dedicated calibration modes — ``CALIB_W`` computes every weight
+quantizer's (delta, zp, alpha) from the parameters in one jitted forward;
+``CALIB_A`` streams calibration batches, each forward running the MSE search
+and EMA range update inside the graph and writing the 'quant' collection.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..quant.config import QuantMode
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def _calib_step(model, variables, batch, mode):
+    _, upd = model.apply(variables, *batch, mode, mutable=["quant"])
+    return upd["quant"]
+
+
+def set_weight_quantize_params(model, variables, cali_data: Sequence,
+                               batch_size: int = 32):
+    """Initialize all weight quantizers (reference: set_quantize_params.py:52-71).
+
+    The reference triggers lazy init with a single 32-sample forward; weight
+    qparams only depend on the weights, so one jitted CALIB_W forward on a
+    32-sample slice reproduces it exactly.
+    """
+    batch = tuple(a[:batch_size] for a in cali_data)
+    mode = QuantMode(w_quant=True, calib_w=True)
+    quant = _calib_step(model, variables, batch, mode)
+    return {**variables, "quant": quant}
+
+
+def set_act_quantize_params(model, variables, cali_data: Sequence,
+                            batch_size: int = 256):
+    """Initialize activation quantizers by streaming the calib set
+    (reference: set_quantize_params.py:9-49).
+
+    Each batch runs the per-quantizer MSE search + EMA update
+    (quant_layer.py:79-85,246-263) inside one compiled graph; the carried
+    state lives in the 'quant' collection between batches.
+    """
+    n = cali_data[0].shape[0]
+    batch_size = min(batch_size, n)
+    mode = QuantMode(w_quant=True, a_quant=True, calib_a=True)
+    for i in range(n // batch_size):
+        batch = tuple(a[i * batch_size:(i + 1) * batch_size]
+                      for a in cali_data)
+        quant = _calib_step(model, variables, batch, mode)
+        variables = {**variables, "quant": quant}
+    return variables

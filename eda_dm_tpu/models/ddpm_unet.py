@@ -333,3 +333,107 @@ class DDPMUNet(nn.Module):
 
         h = swish(self.norm_out(h))
         return self.conv_out(h, mode)
+
+
+# --------------------------------------------------------------------------
+# reconstruction plan
+# --------------------------------------------------------------------------
+
+def ddpm_recon_plan(cfg: DDPMConfig, qc: QuantConfig):
+    """Ordered reconstruction targets for the DDPM UNet.
+
+    Mirrors the walk of ``recon_block_Qmodel``
+    (/root/reference/qdiff/recon_block_Qmodel.py:18-94): temb denses and
+    conv_in as layers, down levels (blocks/attns interleaved in forward order
+    — the reference's down.1 special case — with each downsample conv as a
+    layer), mid, up levels in reversed index order, conv_out last.  The order
+    matters because each target's asymmetric input capture runs under the
+    quantizer state left by earlier targets.
+    """
+    from ..calib.recon import ReconTarget
+
+    wq, aq = qc.wq, qc.aq
+    aq_w = qc.aq_softmax(always_zero=False)
+    ch, temb_ch = cfg.ch, cfg.temb_ch
+    in_ch_mult = (1,) + cfg.ch_mult
+    res_taps = lambda in_ch, out_ch: tuple(
+        (t,) for t in (["conv1", "temb_proj", "conv2"] +
+                       (["nin_shortcut"] if in_ch != out_ch else [])))
+    attn_taps = (("q",), ("k",), ("v",), ("proj_out",))
+
+    plan = [
+        ReconTarget("temb_dense_0", ("temb_dense_0",),
+                    QDense(temb_ch, wq=wq.with_bits(8), aq=aq), "layer"),
+        ReconTarget("temb_dense_1", ("temb_dense_1",),
+                    QDense(temb_ch, wq=wq, aq=aq), "layer"),
+        ReconTarget("conv_in", ("conv_in",),
+                    QConv(ch, (3, 3), wq=wq, aq=aq), "layer"),
+    ]
+
+    def resblock(path, name, in_ch, out_ch, split=0):
+        return ReconTarget(name, path,
+                           ResnetBlockD(out_ch, temb_ch, wq, aq, split=split),
+                           "block", has_temb=True,
+                           inner_taps=res_taps(in_ch, out_ch))
+
+    def attnblock(path, name):
+        return ReconTarget(name, path, AttnBlockD(wq, aq, aq_w), "block",
+                           inner_taps=attn_taps)
+
+    # down path
+    for i in range(cfg.num_resolutions):
+        curr_res = cfg.resolution // (2 ** i)
+        has_attn = curr_res in cfg.attn_resolutions
+        block_in = ch * in_ch_mult[i]
+        block_out = ch * cfg.ch_mult[i]
+        for j in range(cfg.num_res_blocks):
+            plan.append(resblock(("%s_%d" % ("down", i), "block_%d" % j),
+                                 f"down_{i}.block_{j}", block_in, block_out))
+            block_in = block_out
+            if has_attn:
+                plan.append(attnblock((f"down_{i}", f"attn_{j}"),
+                                      f"down_{i}.attn_{j}"))
+        if i != cfg.num_resolutions - 1:
+            plan.append(ReconTarget(
+                f"down_{i}.downsample.conv",
+                (f"down_{i}", "downsample", "conv"),
+                QConv(block_out, (3, 3), strides=(2, 2),
+                      padding=((0, 1), (0, 1)), wq=wq, aq=aq), "layer"))
+
+    # mid
+    mid_ch = ch * cfg.ch_mult[-1]
+    plan.append(resblock(("mid_block_1",), "mid_block_1", mid_ch, mid_ch))
+    plan.append(attnblock(("mid_attn_1",), "mid_attn_1"))
+    plan.append(resblock(("mid_block_2",), "mid_block_2", mid_ch, mid_ch))
+
+    # up path, reversed level order (recon_up_model, recon_block_Qmodel.py:60-89)
+    dummy = DDPMUNet(cfg=cfg, qc=qc)
+    for i in reversed(range(cfg.num_resolutions)):
+        curr_res = cfg.resolution // (2 ** i)
+        has_attn = curr_res in cfg.attn_resolutions
+        block_out = ch * cfg.ch_mult[i]
+        splits = dummy._split_channels(i)
+        for j in range(cfg.num_res_blocks + 1):
+            skip_in = (ch * in_ch_mult[i] if j == cfg.num_res_blocks
+                       else ch * cfg.ch_mult[i])
+            in_ch = splits[j] if splits[j] else (
+                (mid_ch if i == cfg.num_resolutions - 1
+                 else ch * cfg.ch_mult[i + 1]) if j == 0 else block_out)
+            in_ch = in_ch + skip_in
+            plan.append(resblock((f"up_{i}", f"block_{j}"),
+                                 f"up_{i}.block_{j}", in_ch, block_out,
+                                 split=splits[j]))
+            if has_attn:
+                plan.append(attnblock((f"up_{i}", f"attn_{j}"),
+                                      f"up_{i}.attn_{j}"))
+        if i != 0:
+            plan.append(ReconTarget(
+                f"up_{i}.upsample.conv", (f"up_{i}", "upsample", "conv"),
+                QConv(block_out, (3, 3), wq=wq,
+                      aq=(aq.with_bits(8) if i == cfg.num_resolutions - 1
+                          else aq)), "layer"))
+
+    plan.append(ReconTarget("conv_out", ("conv_out",),
+                            QConv(cfg.out_ch, (3, 3), wq=wq.with_bits(8),
+                                  aq=aq, disable_act_quant=True), "layer"))
+    return plan

@@ -1,0 +1,91 @@
+"""Data-parallel wrappers for the PTQ phases.
+
+Sharding layout (SURVEY §2 preamble / §5 "distributed communication"):
+batch axis over a 1-D ``dp`` mesh, parameters and quantizer state
+replicated.  Under jit, global reductions inside the graphs become XLA
+collectives over ICI:
+
+* activation-scale calibration — the per-quantizer min/max and L^2.4 score
+  means reduce over the sharded batch (psum/all-reduce), replacing the
+  reference's single-device accumulation;
+* reconstruction — the minibatch loss mean yields psum'd gradients;
+* sampling — embarrassingly parallel per shard.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import make_mesh, shard_batch, replicate
+from ..quant.config import QuantMode
+
+
+def dp_calibrate_acts(model, variables, cali_data: Sequence, mesh: Mesh,
+                      batch_size: Optional[int] = None):
+    """set_act_quantize_params with the batch sharded over ``dp``.
+
+    Equivalent math to the single-chip path: the search reductions are
+    global, so XLA all-reduces them across shards.
+    """
+    n = cali_data[0].shape[0]
+    bs = batch_size or n
+    mode = QuantMode(w_quant=True, a_quant=True, calib_a=True)
+    variables = replicate(mesh, variables)
+
+    @jax.jit
+    def step(variables, batch):
+        _, upd = model.apply(variables, *batch, mode, mutable=["quant"])
+        return {**variables, "quant": upd["quant"]}
+
+    for i in range(max(1, n // bs)):
+        batch = shard_batch(mesh, tuple(a[i * bs:(i + 1) * bs]
+                                        for a in cali_data))
+        variables = step(variables, batch)
+    return variables
+
+
+def dp_sample(sample_fn, variables, x_T, key, mesh: Mesh):
+    """Run a jitted sampling function with the batch sharded over ``dp``."""
+    variables = replicate(mesh, variables)
+    x_T = shard_batch(mesh, x_T)
+    return jax.jit(sample_fn)(variables, x_T, key)
+
+
+def dp_recon_step(target_module, block_params, block_quant_train,
+                  block_quant_frozen, batch, mesh: Mesh, args, key):
+    """One data-parallel FBR reconstruction step (gradients psum over dp).
+
+    Used by the multi-chip dry run; the production path in calib.recon runs
+    the same math via its scan with sharded cached activations.
+    """
+    from ..calib.recon import ReconArgs  # noqa: F401 (doc reference)
+    from ..utils.tree import deep_merge
+    from ..quant.affine import lp_loss
+
+    mode = QuantMode(w_quant=True, a_quant=args.act_quant,
+                     soft_targets=True, training=True)
+
+    block_params = replicate(mesh, block_params)
+    block_quant_train = replicate(mesh, block_quant_train)
+    block_quant_frozen = replicate(mesh, block_quant_frozen)
+    batch = shard_batch(mesh, batch)
+
+    def loss_fn(train, batch, rng):
+        x, temb, out_fp = batch
+        quant = deep_merge(block_quant_frozen, train)
+        vs = {"params": block_params, "quant": quant}
+        if temb is not None:
+            out = target_module.apply(vs, x, temb, mode,
+                                      rngs={"qdrop": rng})
+        else:
+            out = target_module.apply(vs, x, mode, rngs={"qdrop": rng})
+        return lp_loss(out, out_fp, args.p, channel_axis=-1)
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(
+        block_quant_train, batch, key)
+    return loss, grads

@@ -39,14 +39,18 @@ def ddim_denoise_step(x, et, at, at_next, eta, noise):
 
 def generalized_steps(x: jnp.ndarray, seq, model_fn: Callable, betas,
                       eta: float = 0.0, key: Optional[jax.Array] = None,
-                      capture_fn: Optional[Callable] = None):
+                      capture_fn: Optional[Callable] = None,
+                      record_xt: bool = False,
+                      model_returns_aux: bool = False):
     """Run the full reverse DDIM trajectory.
 
-    model_fn(x, t) -> eps prediction (t float32, shape (N,)).
-    Returns (x_0, aux) where aux stacks per-step values when ``capture_fn``
-    is given: capture_fn(x, t) -> pytree to record at every step *input*
-    (matching the reference's xs[:-1] / per-step hook captures,
-    scripts/calibration.py:29-42).
+    model_fn(x, t) -> eps prediction (t float32, shape (N,)); with
+    ``model_returns_aux`` it returns (eps, aux) and aux is stacked per step —
+    one fused forward replaces the reference's separate feature hook
+    (scripts/calibration.py:28-42).  ``record_xt`` stacks every step *input*
+    x_t (the reference's ``all_sample = xs[:-1]``) and the integer timestep.
+    ``capture_fn(x, t) -> pytree`` records arbitrary extras.
+    Returns (x_0, per-step dict or None).
     """
     alphas = alphas_cumprod_padded(betas)
     ts, ts_next = _seq_pairs(seq)
@@ -60,12 +64,22 @@ def generalized_steps(x: jnp.ndarray, seq, model_fn: Callable, betas,
         t = jnp.full((n,), i, jnp.float32)
         at = alphas[i + 1]
         at_next = alphas[j + 1]
-        aux = capture_fn(x, t) if capture_fn is not None else None
-        et = model_fn(x, t)
+        if model_returns_aux:
+            et, aux = model_fn(x, t)
+        else:
+            et, aux = model_fn(x, t), None
+        ys = {}
+        if record_xt:
+            ys["x"] = x
+            ys["t"] = i
+        if model_returns_aux:
+            ys["aux"] = aux
+        if capture_fn is not None:
+            ys["extra"] = capture_fn(x, t)
         key, sub = jax.random.split(key)
         noise = jax.random.normal(sub, x.shape, x.dtype)
         x_next, _ = ddim_denoise_step(x, et, at, at_next, eta, noise)
-        return (x_next, key), aux
+        return (x_next, key), (ys if ys else None)
 
     (x_final, _), aux = jax.lax.scan(body, (x, key), (ts, ts_next))
     return x_final, aux

@@ -137,9 +137,8 @@ def test_trajectory_capture_matches_reference_layout(reference_path,
     x0 = jnp.asarray(np.random.RandomState(2).randn(1, 16, 16, 3),
                      jnp.float32)
     final, traj = jax.jit(lambda xx: jddim.generalized_steps(
-        xx, seq, model_fn, betas, eta=0.0,
-        capture_fn=lambda x, t: (x, t[0])))(x0)
-    xs, ts = traj
+        xx, seq, model_fn, betas, eta=0.0, record_xt=True))(x0)
+    xs, ts = traj["x"], traj["t"]
     assert xs.shape == (4, 1, 16, 16, 3)
     np.testing.assert_allclose(xs[0], x0, rtol=1e-6)   # first entry is x_T
     assert list(np.asarray(ts, np.int32)) == sorted(
