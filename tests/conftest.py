@@ -18,8 +18,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-# the CPU backend's default matmul precision is bfloat16-class; numerical
-# parity tests need real float32 matmuls
+# The image's sitecustomize force-registers the remote 'axon' TPU backend and
+# overrides jax_platforms — env vars alone don't stick.  Tests must run on a
+# real local CPU backend with 8 virtual devices.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+# full float32 matmuls for numerical parity tests
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import pytest
