@@ -87,6 +87,91 @@ def ddpm_state_dict_to_params(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
     return params
 
 
+# --------------------------------------------------------------------------
+# LDM / Stable Diffusion UNet (openaimodel) and LatentDiffusion checkpoints
+# --------------------------------------------------------------------------
+
+_LDM_MERGE = [
+    (re.compile(r"^time_embed\.(\d+)\."), lambda m: f"time_embed_{m.group(1)}."),
+    (re.compile(r"^(input_blocks|output_blocks)\.(\d+)\.(\d+)\."),
+     lambda m: f"{m.group(1)}_{m.group(2)}_{m.group(3)}."),
+    (re.compile(r"^middle_block\.(\d+)\."), lambda m: f"middle_block_{m.group(1)}."),
+    (re.compile(r"^out\.(\d+)\."), lambda m: f"out_{m.group(1)}."),
+    (re.compile(r"\.(in_layers|out_layers|emb_layers)\.(\d+)\."),
+     lambda m: f".{m.group(1)}_{m.group(2)}."),
+    (re.compile(r"\.transformer_blocks\.(\d+)\."),
+     lambda m: f".transformer_blocks_{m.group(1)}."),
+    (re.compile(r"\.net\.0\.proj\."), lambda m: ".net_0_proj."),
+    (re.compile(r"\.net\.2\."), lambda m: ".net_2."),
+    (re.compile(r"\.to_out\.0\."), lambda m: ".to_out_0."),
+]
+
+
+def _translate_ldm_key(key: str) -> str:
+    for pat, repl in _LDM_MERGE:
+        key = pat.sub(repl, key)
+    return key
+
+
+def ldm_unet_state_dict_to_params(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """Convert a reference ``UNetModel`` state dict
+    (ldm/modules/diffusionmodules/openaimodel.py:447) to LDMUNet params.
+
+    Conv1d qkv/proj_out weights (O, I, 1) become dense kernels (I, O) — the
+    flax attention block computes them as matmuls over the channels-last
+    sequence layout.
+    """
+    params: Dict[str, Any] = {}
+    for key, val in state_dict.items():
+        arr = np.asarray(getattr(val, "numpy", lambda: val)()
+                         if hasattr(val, "numpy") else val, dtype=np.float32)
+        tkey = _translate_ldm_key(key)
+        parts = tkey.split(".")
+        leaf = parts[-1]
+        if key.startswith("label_emb."):
+            leaf, arr = "embedding", arr
+        elif leaf == "weight":
+            if arr.ndim == 4:
+                leaf, arr = "kernel", np.transpose(arr, (2, 3, 1, 0))
+            elif arr.ndim == 3:                       # conv1d → dense
+                leaf, arr = "kernel", np.transpose(arr[..., 0], (1, 0))
+            elif arr.ndim == 2:
+                leaf, arr = "kernel", np.transpose(arr, (1, 0))
+            else:
+                leaf = "scale"                        # GroupNorm / LayerNorm
+        _insert(params, parts[:-1] + [leaf], arr)
+    return params
+
+
+def split_latent_diffusion_state_dict(state_dict: Mapping[str, Any]):
+    """Split a LatentDiffusion checkpoint into its three component dicts.
+
+    Reference checkpoints prefix the UNet with ``model.diffusion_model.``,
+    the VAE with ``first_stage_model.`` and the conditioner with
+    ``cond_stage_model.`` (e.g. loads at
+    scripts/sample_diffusion_ldm_bedroom.py:169-186).
+    """
+    unet, first_stage, cond_stage = {}, {}, {}
+    for k, v in state_dict.items():
+        if k.startswith("model.diffusion_model."):
+            unet[k[len("model.diffusion_model."):]] = v
+        elif k.startswith("first_stage_model."):
+            first_stage[k[len("first_stage_model."):]] = v
+        elif k.startswith("cond_stage_model."):
+            cond_stage[k[len("cond_stage_model."):]] = v
+    return unet, first_stage, cond_stage
+
+
+def load_ldm_checkpoint(path: str):
+    """torch.load a LatentDiffusion checkpoint and convert the UNet part."""
+    import torch
+    state = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(state, dict) and "state_dict" in state:
+        state = state["state_dict"]
+    unet_sd, first_sd, cond_sd = split_latent_diffusion_state_dict(state)
+    return ldm_unet_state_dict_to_params(unet_sd), first_sd, cond_sd
+
+
 def load_ddpm_checkpoint(path: str) -> Dict[str, Any]:
     """torch.load a DDPM checkpoint file and convert it."""
     import torch

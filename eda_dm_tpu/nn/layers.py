@@ -248,10 +248,11 @@ class QDense(nn.Module):
         return out
 
 
-def group_norm(num_groups: int = 32, eps: float = 1e-6) -> nn.GroupNorm:
+def group_norm(num_groups: int = 32, eps: float = 1e-6,
+               name: Optional[str] = None) -> nn.GroupNorm:
     """GroupNorm(32, eps=1e-6) as used by every norm in both model zoos
     (ddim/models/diffusion.py:32-33, ldm openaimodel normalization)."""
-    return nn.GroupNorm(num_groups=num_groups, epsilon=eps)
+    return nn.GroupNorm(num_groups=num_groups, epsilon=eps, name=name)
 
 
 def swish(x: jnp.ndarray) -> jnp.ndarray:
