@@ -55,6 +55,7 @@ class ReconTarget:
     module: nn.Module           # standalone module matching the subtree
     kind: str                   # 'block' | 'layer'
     has_temb: bool = False
+    has_ctx: bool = False       # cross-attention context (transformer blocks)
     # ordered inner QuantModule tap paths (reference hook order); the FBR
     # loss sums all but the last (block_recon.py:187-191)
     inner_taps: Tuple[Tuple[str, ...], ...] = ()
@@ -103,7 +104,7 @@ def _capture_batch(model, variables, batch, path: Tuple[str, ...],
     functional analogue of DataSaverHook's StopForwardException
     (data_utils.py:78-104).
     """
-    _, taps = model.apply(variables, *batch, mode, mutable=["taps"])
+    _, taps = model.apply(variables, *batch, mode=mode, mutable=["taps"])
     sub = get_subtree(taps["taps"], path)
     temb = taps["taps"].get("temb")
     return sub, temb
@@ -202,21 +203,22 @@ def reconstruct_target(target: ReconTarget, variables: Dict[str, Any],
         {"w": optax.adam(w_sched), "a": optax.adam(a_sched)}, labels)
     opt_state = tx.init(train)
 
-    def forward(train_leaves, x, temb, rng):
+    def forward(train_leaves, x, temb, ctx, rng):
         quant = deep_merge(frozen, train_leaves)
         vs = {"params": block_params, "quant": quant}
         if target.has_temb:
-            out, taps = target.module.apply(vs, x, temb, mode,
-                                            mutable=["taps"],
-                                            rngs={"qdrop": rng})
+            args = (x, temb)
+        elif target.has_ctx:
+            args = (x, ctx)
         else:
-            out, taps = target.module.apply(vs, x, mode, mutable=["taps"],
-                                            rngs={"qdrop": rng})
+            args = (x,)
+        out, taps = target.module.apply(vs, *args, mode, mutable=["taps"],
+                                        rngs={"qdrop": rng})
         return out, taps["taps"]
 
     def loss_fn(train_leaves, batch, rng, it):
-        x, temb, out_fp, inners = batch
-        out, taps = forward(train_leaves, x, temb, rng)
+        x, temb, ctx, out_fp, inners = batch
+        out, taps = forward(train_leaves, x, temb, ctx, rng)
         loss = lp_loss(out, out_fp, args.p, channel_axis=-1)
         if use_inner:
             m_loss = 0.0
@@ -234,7 +236,8 @@ def reconstruct_target(target: ReconTarget, variables: Dict[str, Any],
 
     inp_q, inp_s = data["inp_q"], data["inp_s"]
     temb_q = data.get("temb_q")
-    dummy_temb = jnp.zeros((bs, 0)) if temb_q is None else None
+    ctx_q = data.get("ctx_q")
+    dummy = jnp.zeros((bs, 0))
 
     def step(carry, it):
         train_leaves, opt_state, key = carry
@@ -248,11 +251,12 @@ def reconstruct_target(target: ReconTarget, variables: Dict[str, Any],
         else:
             x = xs                     # reference: cur_inp = cur_sym (:145)
         temb = (jnp.take(temb_q, idx, axis=0) if temb_q is not None
-                else dummy_temb)
+                else dummy)
+        ctx = (jnp.take(ctx_q, idx, axis=0) if ctx_q is not None else dummy)
         out_fp = jnp.take(data["out_fp"], idx, axis=0)
         inners = tuple(jnp.take(a, idx, axis=0) for a in inner_fp)
         loss, grads = jax.value_and_grad(loss_fn)(
-            train_leaves, (x, temb, out_fp, inners), k_drop,
+            train_leaves, (x, temb, ctx, out_fp, inners), k_drop,
             it.astype(jnp.float32))
         updates, opt_state = tx.update(grads, opt_state, train_leaves)
         train_leaves = optax.apply_updates(train_leaves, updates)
@@ -293,6 +297,9 @@ def build_target_data(model, variables, cali_data, target: ReconTarget,
     if target.has_temb:
         data["temb_s"] = fp_temb
         data["temb_q"] = q_temb
+    if target.has_ctx:
+        data["ctx_q"] = q_sub.get("block_ctx")
+        data["ctx_s"] = fp_sub.get("block_ctx")
     if target.kind == "block":
         data["inner_fp"] = tuple(
             get_subtree(fp_sub, tp + ("out",)) for tp in target.inner_taps)

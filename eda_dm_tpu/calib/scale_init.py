@@ -23,7 +23,7 @@ from ..quant.config import QuantMode
 
 @partial(jax.jit, static_argnums=(0, 3))
 def _calib_step(model, variables, batch, mode):
-    _, upd = model.apply(variables, *batch, mode, mutable=["quant"])
+    _, upd = model.apply(variables, *batch, mode=mode, mutable=["quant"])
     return upd["quant"]
 
 

@@ -408,6 +408,10 @@ class SpatialTransformerL(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray],
                  mode: QuantMode) -> jnp.ndarray:
+        if mode.capture:
+            # TDAC hooks the middle block's second member, which may be a
+            # SpatialTransformer (calibration.py:387/520)
+            self.sow("taps", "block_in", x, reduce_fn=_sow_reduce)
         b, hh, ww, c = x.shape
         inner = self.heads * self.dim_head
         h = group_norm(name="norm")(x)
@@ -553,3 +557,92 @@ class LDMUNet(nn.Module):
 
         h = swish(self.out["0"](h))
         return self.out["2"](h, mode)
+
+
+# --------------------------------------------------------------------------
+# reconstruction plan
+# --------------------------------------------------------------------------
+
+def ldm_recon_plan(cfg: LDMUNetConfig, qc: QuantConfig):
+    """Ordered reconstruction targets for the LDM/SD UNet.
+
+    Mirrors the walk of recon_block_Qmodel over a wrapped UNetModel
+    (qdiff/recon_block_Qmodel.py:26-58 and the qdiff_control variant
+    :18-43): time_embed denses as layers; every ResBlock and AttentionBlock
+    (after Change_LDM_model_attnblock) as a block; SpatialTransformers
+    decomposed into proj_in (layer) + BasicTransformerBlocks (blocks) +
+    proj_out (layer); down/upsample convs and out.2 as layers.
+    output_blocks iterate in natural (= execution) order.
+    """
+    from ..calib.recon import ReconTarget
+
+    wq, aq = qc.wq, qc.aq
+    aq_w_attn = qc.aq_softmax(always_zero=True, symmetric=False)
+    aq_w_tx = qc.aq_softmax(always_zero=True)
+    layout = build_layout(cfg, qc.split)
+
+    plan = [
+        ReconTarget("time_embed_0", ("time_embed_0",),
+                    QDense(cfg.time_embed_dim, wq=wq.with_bits(8), aq=aq),
+                    "layer"),
+        ReconTarget("time_embed_2", ("time_embed_2",),
+                    QDense(cfg.time_embed_dim, wq=wq, aq=aq), "layer"),
+    ]
+
+    def add_item(prefix: str, it: LayerItem):
+        base = (f"{prefix}_{it.key}",)
+        name = f"{prefix}.{it.key}"
+        if it.kind == "conv":
+            plan.append(ReconTarget(
+                name, base, QConv(cfg.model_channels, (3, 3), wq=wq, aq=aq),
+                "layer"))
+        elif it.kind == "res":
+            plan.append(ReconTarget(
+                name, base,
+                ResBlockL(it.out_ch, wq, aq,
+                          use_scale_shift_norm=cfg.use_scale_shift_norm,
+                          updown=it.updown, split=it.split),
+                "block", has_temb=True,
+                inner_taps=ResBlockL.inner_taps(it.in_ch, it.out_ch)))
+        elif it.kind == "attn":
+            plan.append(ReconTarget(
+                name, base, AttentionBlockL(it.heads, wq, aq, aq_w_attn),
+                "block", inner_taps=AttentionBlockL.inner_taps()))
+        elif it.kind == "tx":
+            inner = it.heads * it.dim_head
+            plan.append(ReconTarget(
+                f"{name}.proj_in", base + ("proj_in",),
+                QConv(inner, (1, 1), padding="VALID", wq=wq, aq=aq), "layer"))
+            for d in range(cfg.transformer_depth):
+                plan.append(ReconTarget(
+                    f"{name}.tx_{d}", base + (f"transformer_blocks_{d}",),
+                    BasicTransformerBlockL(it.heads, it.dim_head, inner, wq,
+                                           aq, aq_w_tx),
+                    "block", has_ctx=cfg.context_dim is not None,
+                    inner_taps=BasicTransformerBlockL.inner_taps()))
+            plan.append(ReconTarget(
+                f"{name}.proj_out", base + ("proj_out",),
+                QConv(it.out_ch, (1, 1), padding="VALID", wq=wq, aq=aq),
+                "layer"))
+        elif it.kind == "down":
+            plan.append(ReconTarget(
+                name, base + ("op",),
+                QConv(it.out_ch, (3, 3), strides=(2, 2),
+                      padding=((1, 1), (1, 1)), wq=wq, aq=aq), "layer"))
+        elif it.kind == "up":
+            plan.append(ReconTarget(
+                name, base + ("conv",),
+                QConv(it.out_ch, (3, 3), wq=wq, aq=aq), "layer"))
+
+    for it in layout.input_blocks:
+        add_item("input_blocks", it)
+    for it in layout.middle_block:
+        add_item("middle_block", it)
+    for it in layout.output_blocks:
+        add_item("output_blocks", it)
+
+    plan.append(ReconTarget(
+        "out_2", ("out_2",),
+        QConv(cfg.out_channels, (3, 3), wq=wq.with_bits(8), aq=aq,
+              disable_act_quant=True), "layer"))
+    return plan

@@ -1,0 +1,319 @@
+"""Latent-diffusion PTQ pipelines: LSUN-Bedroom, LSUN-Church, ImageNet
+(class-conditional CFG) and COCO text-to-image (Stable Diffusion).
+
+Rebuilds the four reference entry scripts
+(/root/reference/scripts/sample_diffusion_ldm_{bedroom,church,imagenet}.py,
+sample_txt2img.py) on one parameterized driver: quantized-UNet wrap →
+TDAC trajectory calibration (bedroom/church: calibration.py:156-370;
+imagenet: :371-499; coco: :502-638) → scale init (the reference's
+set_*_quantize_params_{LDM,Conditional,Stable} replay collapses to
+streaming the TDAC set through the calibration modes — the quantizers only
+ever see the UNet inputs the replay would feed them) → AdaRound+FBR block
+reconstruction → batched sampling → FP VAE decode.
+
+Conditional tasks assemble the classifier-free-guidance calibration batches
+exactly like qdiff_control/data_utils.py:28-31: x_in = [x;x], t_in = [t;t],
+c_in = [uncond; cond].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.latent_diffusion import (LatentDiffusion, LatentDiffusionConfig,
+                                       bedroom_config, church_config,
+                                       imagenet_config, sd_v1_config)
+from ..models.ldm_unet import ldm_recon_plan, build_layout
+from ..quant.config import QuantConfig, QuantMode, FP, WAQ
+from ..samplers.latent import (make_ldm_schedule, ldm_ddim_sample,
+                               ldm_plms_sample, cfg_model_fn, LDMSchedule)
+from ..calib.scale_init import set_weight_quantize_params, \
+    set_act_quantize_params
+from ..calib.tdac import select_calib_set, DENSE_R
+from ..calib.recon import ReconArgs, reconstruct, FP_CAPTURE
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class LDMTaskConfig:
+    """Per-task knobs; defaults follow scripts/task_config.py."""
+    task: str = "bedroom"                 # bedroom|church|imagenet|coco
+    custom_steps: int = 200
+    eta: float = 1.0
+    sampler: str = "ddim"                 # 'ddim' | 'plms'
+    scale: float = 1.0                    # CFG guidance scale
+    # quant
+    weight_bit: int = 4
+    act_bit: int = 8
+    sm_abit: int = 8
+    a_sym: bool = False
+    split: bool = True
+    quant_act: bool = True
+    # calibration / recon
+    calib_num_samples: int = 1024
+    batch_samples: int = 64
+    lamda: float = 100.0
+    iters: int = 5000
+    lr_w: float = 1e-2
+    lr_a: float = 5e-3
+    add_loss: float = 0.001
+    input_prob: float = 0.5
+    recon_batch_size: int = 32
+    capture_batch_size: Optional[int] = None
+    recon: bool = True
+    # sampling
+    n_samples: int = 50000
+    batch_size: int = 50
+    seed: int = 1234
+    ckpt_path: Optional[str] = None
+
+
+TASK_DEFAULTS = {
+    # scripts/task_config.py:41-107,109-146,149-197 + for_*.sh recipes
+    "bedroom": dict(custom_steps=200, eta=1.0, lamda=100.0, lr_w=1e-2,
+                    lr_a=5e-3, add_loss=0.001, iters=5000, batch_size=50),
+    "church": dict(custom_steps=500, eta=0.0, lamda=1.0, lr_w=5e-2,
+                   lr_a=1e-4, add_loss=1.0, iters=5000, batch_size=100),
+    "imagenet": dict(custom_steps=20, eta=0.0, scale=3.0, lamda=0.5,
+                     lr_w=5e-1, lr_a=1e-4, add_loss=1.3, iters=1000,
+                     batch_size=50),
+    "coco": dict(custom_steps=50, eta=0.0, scale=7.5, sampler="plms",
+                 lamda=50.0, lr_w=3e-2, lr_a=1e-4, add_loss=0.5, iters=1000,
+                 calib_num_samples=256, batch_samples=8, batch_size=4,
+                 n_samples=10000, recon_batch_size=2),
+}
+
+MODEL_CONFIGS = {
+    "bedroom": bedroom_config,
+    "church": church_config,
+    "imagenet": imagenet_config,
+    "coco": sd_v1_config,
+}
+
+
+def task_config(task: str, **overrides) -> LDMTaskConfig:
+    kw = dict(TASK_DEFAULTS[task])
+    kw.update(overrides)
+    return LDMTaskConfig(task=task, **kw)
+
+
+class LDMPipeline:
+    """Shared driver for the four latent tasks."""
+
+    def __init__(self, cfg: LDMTaskConfig,
+                 model_cfg: Optional[LatentDiffusionConfig] = None):
+        self.cfg = cfg
+        self.qc = QuantConfig(weight_bit=cfg.weight_bit, act_bit=cfg.act_bit,
+                              sm_abit=cfg.sm_abit, a_sym=cfg.a_sym,
+                              quant_act=cfg.quant_act, split=cfg.split)
+        self.mc = model_cfg or MODEL_CONFIGS[cfg.task]()
+        self.ld = LatentDiffusion(self.mc, self.qc)
+        self.sched = make_ldm_schedule(
+            num_timesteps=self.mc.timesteps,
+            linear_start=self.mc.linear_start,
+            linear_end=self.mc.linear_end, ddim_steps=cfg.custom_steps,
+            eta=cfg.eta)
+        self.root_key = jax.random.PRNGKey(cfg.seed)
+        self.is_conditional = cfg.scale != 1.0 and self.mc.cond != "none"
+
+    # ------------------------------------------------------------------
+    def init_variables(self, key: Optional[jax.Array] = None):
+        variables = self.ld.init_variables(key or self.root_key)
+        if self.cfg.ckpt_path:
+            variables = self.ld.load_checkpoint(variables, self.cfg.ckpt_path)
+        return variables
+
+    # ------------------------------------------------------------------
+    def _mid_tap_key(self) -> Tuple[str, ...]:
+        """Path of middle_block[1]'s input tap (the TDAC feature hook,
+        calibration.py:167/275/387/520)."""
+        return ("middle_block_1", "block_in")
+
+    def unet_fn(self, unet_vars, context=None, mode: QuantMode = FP,
+                with_aux: bool = False):
+        def fn(x, t, ctx=None):
+            return self.ld.apply_model(unet_vars, x, t,
+                                       context=ctx if ctx is not None
+                                       else context, mode=mode)
+
+        if not with_aux:
+            return fn
+
+        def fn_aux(x, t):
+            out, taps = self.ld.unet.apply(
+                unet_vars, x, t, context=context,
+                mode=mode.replace(capture=True), mutable=["taps"])
+            feat = taps["taps"]
+            for k in self._mid_tap_key():
+                feat = feat[k]
+            return out, feat
+        return fn_aux
+
+    # ------------------------------------------------------------------
+    def tdac_calibration(self, variables, key, context=None, uncond=None):
+        """TDAC over the FP sampler trajectory.
+
+        For CFG tasks the model runs the doubled batch, but x_inter and the
+        feature hook see the CFG-combined trajectory exactly as the
+        reference records it (DDIMSampler_control / PLMS intermediates).
+        """
+        cfg = self.cfg
+        key, k_noise, k_sel, k_traj = jax.random.split(key, 4)
+        res = self.mc.unet.image_size
+        shape = (cfg.batch_samples, res, res, self.mc.unet.in_channels)
+        x_T = jax.random.normal(k_noise, shape)
+
+        unet_vars = variables["unet"]
+
+        if self.is_conditional:
+            base = self.unet_fn(unet_vars, mode=FP)
+
+            def model_aux(x, t):
+                x_in = jnp.concatenate([x, x])
+                t_in = jnp.concatenate([t, t])
+                c_in = jnp.concatenate([uncond, context])
+                out, taps = self.ld.unet.apply(
+                    unet_vars, x_in, t_in, context=c_in,
+                    mode=FP.replace(capture=True), mutable=["taps"])
+                e_u, e_c = jnp.split(out, 2)
+                feat = taps["taps"]
+                for k in self._mid_tap_key():
+                    feat = feat[k]
+                return e_u + cfg.scale * (e_c - e_u), feat
+        else:
+            model_aux = self.unet_fn(unet_vars, context=context, mode=FP,
+                                     with_aux=True)
+
+        sample_fn = (ldm_plms_sample if cfg.sampler == "plms"
+                     else ldm_ddim_sample)
+        _, traj = jax.jit(lambda xx: sample_fn(
+            xx, self.sched, model_aux, key=k_traj, record_xt=True,
+            model_returns_aux=True))(x_T)
+
+        dense_r = DENSE_R.get(cfg.task, 3.0)
+        # ascending seq: select_calib_set maps code c → seq[len-1-c]
+        # (calibration.py:146-149), i.e. step 0 (= x_T) → largest t
+        sel = select_calib_set(traj["x"], traj["aux"],
+                               self.sched.ddim_timesteps,
+                               cfg.lamda, cfg.calib_num_samples, dense_r,
+                               k_sel)
+        return sel
+
+    # ------------------------------------------------------------------
+    def build_cali_data(self, sel, context=None, uncond=None):
+        """Assemble the calibration batch tuple the UNet consumes.
+
+        Unconditional: (x, t).  Conditional (CFG): doubled rows with
+        [uncond; cond] contexts (qdiff_control/data_utils.py:28-31).
+        """
+        if not self.is_conditional:
+            return (sel.calib_x, sel.calib_t)
+        n = sel.calib_x.shape[0]
+        pos = np.arange(n) % context.shape[0]
+        ctx = jnp.asarray(context)[jnp.asarray(pos)]
+        unc = jnp.asarray(uncond)[jnp.asarray(pos)]
+        x2 = jnp.concatenate([sel.calib_x, sel.calib_x])
+        t2 = jnp.concatenate([sel.calib_t, sel.calib_t])
+        c2 = jnp.concatenate([unc, ctx])
+        return (x2, t2, c2)
+
+    # ------------------------------------------------------------------
+    def calibrate(self, variables, cali_data):
+        unet_vars = variables["unet"]
+        unet_vars = set_weight_quantize_params(self.ld.unet, unet_vars,
+                                               cali_data)
+        unet_vars = set_act_quantize_params(self.ld.unet, unet_vars,
+                                            cali_data)
+        return {**variables, "unet": unet_vars}
+
+    def reconstruct(self, variables, cali_data, key, progress=None):
+        cfg = self.cfg
+        args = ReconArgs(iters=cfg.iters, batch_size=cfg.recon_batch_size,
+                         lr_w=cfg.lr_w, lr_a=cfg.lr_a, add_loss=cfg.add_loss,
+                         input_prob=cfg.input_prob,
+                         capture_batch_size=cfg.capture_batch_size)
+        plan = ldm_recon_plan(self.mc.unet, self.qc)
+        unet_vars = reconstruct(self.ld.unet, variables["unet"], cali_data,
+                                plan, args, key, progress=progress)
+        return {**variables, "unet": unet_vars}
+
+    # ------------------------------------------------------------------
+    def sample_batch(self, variables, key, batch_size: Optional[int] = None,
+                     context=None, uncond=None, mode: QuantMode = WAQ,
+                     decode: bool = True):
+        """One jitted sampling batch (+ FP VAE decode → images in [0,1])."""
+        cfg = self.cfg
+        bs = batch_size or cfg.batch_size
+        res = self.mc.unet.image_size
+        k_noise, k_samp = jax.random.split(key)
+        x_T = jax.random.normal(
+            k_noise, (bs, res, res, self.mc.unet.in_channels))
+
+        apply_fn = lambda x, t, c: self.ld.apply_model(
+            variables["unet"], x, t, context=c, mode=mode)
+        model_fn = cfg_model_fn(apply_fn, context, uncond,
+                                cfg.scale if self.is_conditional else 1.0)
+        sample_fn = (ldm_plms_sample if cfg.sampler == "plms"
+                     else ldm_ddim_sample)
+        z, _ = sample_fn(x_T, self.sched, model_fn, key=k_samp)
+        if not decode:
+            return z
+        img = self.ld.decode_first_stage(variables["first_stage"], z)
+        return jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
+
+    def sample_fid(self, variables, out_dir: Optional[str] = None,
+                   n_samples: Optional[int] = None, context_fn=None,
+                   mode: QuantMode = WAQ):
+        """Batched FID-set generation with per-batch throughput logging
+        (sample_diffusion_ldm_bedroom.py:98-167)."""
+        cfg = self.cfg
+        total = n_samples or cfg.n_samples
+        bs = min(cfg.batch_size, total)
+        key = jax.random.PRNGKey(cfg.seed)
+        sample = jax.jit(lambda v, k, ctx, unc: self.sample_batch(
+            v, k, batch_size=bs, context=ctx, uncond=unc, mode=mode))
+        images = [] if out_dir is None else None
+        img_id = 0
+        while img_id < total:
+            key, sub = jax.random.split(key)
+            ctx, unc = context_fn(img_id, bs) if context_fn else (None, None)
+            t0 = time.time()
+            batch = np.asarray(sample(variables, sub, ctx, unc))
+            logger.info("batch throughput %.3f img/s",
+                        bs / max(time.time() - t0, 1e-9))
+            take = min(bs, total - img_id)
+            if out_dir is None:
+                images.append(batch[:take])
+            else:
+                from ..eval.io import save_images
+                save_images(batch[:take], out_dir, start_index=img_id)
+            img_id += take
+        return np.concatenate(images) if out_dir is None else None
+
+    # ------------------------------------------------------------------
+    def run(self, out_dir: Optional[str] = None, variables=None,
+            context=None, uncond=None, progress=None):
+        key = self.root_key
+        if variables is None:
+            variables = self.init_variables()
+        key, k_tdac, k_recon = jax.random.split(key, 3)
+        sel = self.tdac_calibration(variables, k_tdac, context=context,
+                                    uncond=uncond)
+        cali_data = self.build_cali_data(sel, context=context, uncond=uncond)
+        variables = self.calibrate(variables, cali_data)
+        if self.cfg.recon:
+            variables = self.reconstruct(variables, cali_data, k_recon,
+                                         progress=progress)
+        images = self.sample_fid(
+            variables, out_dir=out_dir,
+            context_fn=(lambda i, b: (context[:b], uncond[:b]))
+            if context is not None else None)
+        return variables, images
