@@ -59,6 +59,10 @@ class ReconTarget:
     # ordered inner QuantModule tap paths (reference hook order); the FBR
     # loss sums all but the last (block_recon.py:187-191)
     inner_taps: Tuple[Tuple[str, ...], ...] = ()
+    # layer-mode attention target: optimize only the block-level q/k/v/w
+    # activation deltas against the block FP output
+    # (AttnBlock_layer_reconstruction, qdiff/attn_layer_recon.py:13-133)
+    act_only: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -183,7 +187,16 @@ def reconstruct_target(target: ReconTarget, variables: Dict[str, Any],
     """
     block_params = get_subtree(variables["params"], target.path)
     block_quant = get_subtree(variables["quant"], target.path)
-    train, frozen = split_trainable(block_quant, args.recon_w, args.recon_a)
+    if target.act_only:
+        # only the attention q/k/v/w deltas train (attn_layer_recon.py)
+        train, frozen = partition_leaves(
+            block_quant,
+            lambda p, _: (len(p) == 2 and p[1] == "delta"
+                          and p[0].startswith("act_quantizer_")))
+        args = dataclasses.replace(args, recon_w=False)
+    else:
+        train, frozen = split_trainable(block_quant, args.recon_w,
+                                        args.recon_a)
     if not jax.tree.leaves(train):
         return variables, jnp.zeros((args.iters,))
 

@@ -1,0 +1,116 @@
+"""Quality metrics: FID, sFID, Inception Score, CLIP score.
+
+Rebuild of the reference's metric runner (/root/reference/scripts/test.py:
+torch-fidelity ISC+FID :12-22, pytorch-fid path-pair FID :24-48, FID+CLIP
+for SD :50-70).  The reference delegates to sibling clones of pytorch-fid /
+clip-score; here the statistics math is self-contained and the feature
+extractor is pluggable — any callable images→features works (an
+InceptionV3/CLIP port needs pretrained weights, which this offline
+environment cannot download; pass precomputed features or stats instead).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Iterable, Optional, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class FeatureStats:
+    mu: np.ndarray
+    sigma: np.ndarray
+
+    @staticmethod
+    def from_features(feats: np.ndarray) -> "FeatureStats":
+        feats = np.asarray(feats, np.float64)
+        return FeatureStats(mu=feats.mean(0), sigma=np.cov(feats,
+                                                           rowvar=False))
+
+
+def frechet_distance(s1: FeatureStats, s2: FeatureStats,
+                     eps: float = 1e-6) -> float:
+    """FID between two Gaussians (Heusel et al.; pytorch_fid's
+    calculate_frechet_distance semantics)."""
+    from scipy import linalg
+    diff = s1.mu - s2.mu
+    covmean, _ = linalg.sqrtm(s1.sigma @ s2.sigma, disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(s1.sigma.shape[0]) * eps
+        covmean = linalg.sqrtm((s1.sigma + offset) @ (s2.sigma + offset))
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff @ diff + np.trace(s1.sigma) + np.trace(s2.sigma)
+                 - 2.0 * np.trace(covmean))
+
+
+def fid_from_features(f1: np.ndarray, f2: np.ndarray) -> float:
+    return frechet_distance(FeatureStats.from_features(f1),
+                            FeatureStats.from_features(f2))
+
+
+def inception_score(probs: np.ndarray, splits: int = 10) -> Tuple[float, float]:
+    """IS from class-probability rows (torch-fidelity 'isc' semantics:
+    exp(E_x KL(p(y|x) || p(y))), mean/std over splits)."""
+    probs = np.asarray(probs, np.float64)
+    scores = []
+    n = probs.shape[0]
+    for part in np.array_split(probs, splits):
+        py = part.mean(0, keepdims=True)
+        kl = np.sum(part * (np.log(part + 1e-12) - np.log(py + 1e-12)),
+                    axis=1)
+        scores.append(np.exp(kl.mean()))
+    return float(np.mean(scores)), float(np.std(scores))
+
+
+def spatial_fid(f1: np.ndarray, f2: np.ndarray) -> float:
+    """sFID: FID over spatial (intermediate mixed-pool) features — same
+    Fréchet math, different extractor layer.  Callers pass the spatial
+    features of both sets."""
+    return fid_from_features(f1, f2)
+
+
+def clip_score(image_features: np.ndarray, text_features: np.ndarray,
+               scale: float = 100.0) -> float:
+    """Mean cosine similarity between matched image/text CLIP embeddings
+    (clip-score semantics, scripts/test.py:50-70)."""
+    im = image_features / np.linalg.norm(image_features, axis=1,
+                                         keepdims=True)
+    tx = text_features / np.linalg.norm(text_features, axis=1, keepdims=True)
+    return float(scale * np.mean(np.sum(im * tx, axis=1)))
+
+
+def load_inception_extractor(weights_path: Optional[str] = None
+                             ) -> Callable[[np.ndarray], np.ndarray]:
+    """Pluggable InceptionV3 pool3 extractor.
+
+    Offline environment: pretrained InceptionV3 weights cannot be
+    downloaded.  If ``weights_path`` points at a torchvision inception
+    checkpoint it is loaded via torch; otherwise a clear error explains how
+    to supply features.
+    """
+    if weights_path is None:
+        raise RuntimeError(
+            "No Inception weights available offline. Either pass "
+            "weights_path to a local inception_v3 checkpoint, or compute "
+            "features elsewhere and use fid_from_features/FeatureStats.")
+    import torch
+    from torch import nn
+
+    state = torch.load(weights_path, map_location="cpu")
+    raise NotImplementedError(
+        "torchvision is not installed in this image; supply features "
+        "directly (fid_from_features) or add an extractor.")
+
+
+def center_resize_image(img: np.ndarray, size: int = 512) -> np.ndarray:
+    """Center-crop to square then resize (qdiff_control/coco_prompt.py:24-46)
+    — used to prepare FID reference sets for COCO."""
+    h, w = img.shape[:2]
+    s = min(h, w)
+    top, left = (h - s) // 2, (w - s) // 2
+    img = img[top:top + s, left:left + s]
+    from PIL import Image
+    return np.asarray(Image.fromarray(img).resize((size, size),
+                                                  Image.BICUBIC))

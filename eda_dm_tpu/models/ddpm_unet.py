@@ -437,3 +437,50 @@ def ddpm_recon_plan(cfg: DDPMConfig, qc: QuantConfig):
                             QConv(cfg.out_ch, (3, 3), wq=wq.with_bits(8),
                                   aq=aq, disable_act_quant=True), "layer"))
     return plan
+
+
+def ddpm_layer_plan(cfg: DDPMConfig, qc: QuantConfig):
+    """Layer-mode reconstruction plan (the reference's ablation path,
+    qdiff/recon_layer_Qmodel.py:13-120): every QuantModule reconstructs
+    individually; attention blocks get q/k/v layer recon, a whole-block
+    act-delta-only recon (qdiff/attn_layer_recon.py:13-133), then proj_out."""
+    from ..calib.recon import ReconTarget
+
+    block_plan = ddpm_recon_plan(cfg, qc)
+    wq, aq = qc.wq, qc.aq
+    plan = []
+    last_ch = cfg.ch
+    for t in block_plan:
+        if t.kind == "layer":
+            plan.append(t)
+        elif isinstance(t.module, AttnBlockD):
+            # attention always follows a res block at the same width
+            for leaf in ("q", "k", "v"):
+                plan.append(ReconTarget(
+                    f"{t.name}.{leaf}", t.path + (leaf,),
+                    QConv(last_ch, (1, 1), padding="VALID", wq=wq, aq=aq),
+                    "layer"))
+            plan.append(ReconTarget(f"{t.name}.acts", t.path, t.module,
+                                    "block", act_only=True,
+                                    inner_taps=t.inner_taps))
+            plan.append(ReconTarget(
+                f"{t.name}.proj_out", t.path + ("proj_out",),
+                QConv(last_ch, (1, 1), padding="VALID", wq=wq, aq=aq),
+                "layer"))
+        else:  # ResnetBlockD → per-layer in registration order
+            out_ch = t.module.out_ch
+            last_ch = out_ch
+            for tap in t.inner_taps:
+                leaf = tap[0]
+                mod = (QDense(out_ch, wq=wq, aq=aq) if leaf == "temb_proj"
+                       else QConv(out_ch,
+                                  (1, 1) if leaf == "nin_shortcut"
+                                  else (3, 3),
+                                  padding=("VALID" if leaf == "nin_shortcut"
+                                           else "SAME"),
+                                  wq=wq, aq=aq,
+                                  split=(t.module.split
+                                         if leaf == "nin_shortcut" else 0)))
+                plan.append(ReconTarget(f"{t.name}.{leaf}", t.path + (leaf,),
+                                        mod, "layer"))
+    return plan

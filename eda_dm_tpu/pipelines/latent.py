@@ -261,9 +261,19 @@ class LDMPipeline:
             variables["unet"], x, t, context=c, mode=mode)
         model_fn = cfg_model_fn(apply_fn, context, uncond,
                                 cfg.scale if self.is_conditional else 1.0)
-        sample_fn = (ldm_plms_sample if cfg.sampler == "plms"
-                     else ldm_ddim_sample)
-        z, _ = sample_fn(x_T, self.sched, model_fn, key=k_samp)
+        if cfg.sampler == "dpm":
+            # DPMSolverSampler equivalent (ldm/models/diffusion/dpm_solver/
+            # sampler.py:8-82): multistep DPM-Solver++ order 2
+            from ..samplers.dpm_solver import NoiseScheduleVP, \
+                dpm_solver_sample
+            ns = NoiseScheduleVP("discrete", betas=self.sched.betas)
+            z = dpm_solver_sample(x_T, model_fn, ns,
+                                  steps=cfg.custom_steps, order=2,
+                                  algorithm_type="dpmsolver++")
+        else:
+            sample_fn = (ldm_plms_sample if cfg.sampler == "plms"
+                         else ldm_ddim_sample)
+            z, _ = sample_fn(x_T, self.sched, model_fn, key=k_samp)
         if not decode:
             return z
         img = self.ld.decode_first_stage(variables["first_stage"], z)

@@ -1,0 +1,77 @@
+"""Checkpoint / resume of quantization state via orbax.
+
+The reference has *loading* only and no mid-run resume (SURVEY §5: a crash
+loses all calibration state).  Here the quantizer state — scales,
+zero-points, AdaRound alphas, EMA ranges — is a plain pytree, so the whole
+PTQ artifact checkpoints cheaply, and block reconstruction saves after every
+target so an interrupted calibration resumes from the last completed block.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+
+
+def _ckptr():
+    import orbax.checkpoint as ocp
+    return ocp.PyTreeCheckpointer()
+
+
+def save_quant_state(path: str, variables: Dict[str, Any],
+                     meta: Optional[Dict[str, Any]] = None) -> None:
+    """Persist the 'quant' collection (and optionally metadata)."""
+    path = os.path.abspath(path)
+    _ckptr().save(path, variables["quant"], force=True)
+    if meta is not None:
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f)
+
+
+def load_quant_state(path: str, variables: Dict[str, Any]) -> Dict[str, Any]:
+    quant = _ckptr().restore(os.path.abspath(path))
+    return {**variables, "quant": jax.tree.map(np.asarray, quant)}
+
+
+def load_meta(path: str) -> Optional[Dict[str, Any]]:
+    meta_path = os.path.abspath(path) + ".meta.json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return json.load(f)
+    return None
+
+
+def resumable_reconstruct(model, variables, cali_data, plan, args, key,
+                          checkpoint_dir: str, progress=None):
+    """`calib.recon.reconstruct` with per-target checkpointing.
+
+    After each target the quant collection is saved along with the index of
+    the last completed target; on restart, completed targets are skipped and
+    the saved state restored (the capture-order dependence is preserved
+    because state after target k fully determines target k+1's captures).
+    """
+    from ..calib.recon import build_target_data, reconstruct_target
+
+    ckpt = os.path.join(checkpoint_dir, "recon_state")
+    start = 0
+    meta = load_meta(ckpt)
+    if meta is not None and meta.get("plan_len") == len(plan):
+        variables = load_quant_state(ckpt, variables)
+        start = int(meta["completed"])
+
+    keys = jax.random.split(key, len(plan))
+    for i in range(start, len(plan)):
+        target = plan[i]
+        data = build_target_data(model, variables, cali_data, target, args)
+        variables, losses = reconstruct_target(target, variables, data, args,
+                                               keys[i])
+        save_quant_state(ckpt, variables,
+                         meta={"completed": i + 1, "plan_len": len(plan),
+                               "last_target": target.name})
+        if progress is not None:
+            progress(target.name, float(losses[-1]))
+    return variables
