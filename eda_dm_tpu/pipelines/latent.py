@@ -159,52 +159,93 @@ class LDMPipeline:
 
     # ------------------------------------------------------------------
     def tdac_calibration(self, variables, key, context=None, uncond=None):
-        """TDAC over the FP sampler trajectory.
+        """TDAC over FP sampler trajectories.
 
-        For CFG tasks the model runs the doubled batch, but x_inter and the
-        feature hook see the CFG-combined trajectory exactly as the
-        reference records it (DDIMSampler_control / PLMS intermediates).
+        Mirrors the LDM generators (calibration.py:156-370 etc.): when
+        calib_num_samples > batch_samples, multiple trajectory batches are
+        generated; the density/diversity scores come from the *first*
+        batch's mid-block features (hooks only on i == 0,
+        calibration.py:390-410), and each batch contributes its slice of
+        the selected latents.  For CFG tasks the model runs the doubled
+        batch per step; ``context``/``uncond`` rows align with the
+        calibration sample index (length >= calib_num_samples, or
+        batch_samples for a shared batch).
         """
         cfg = self.cfg
-        key, k_noise, k_sel, k_traj = jax.random.split(key, 4)
         res = self.mc.unet.image_size
-        shape = (cfg.batch_samples, res, res, self.mc.unet.in_channels)
-        x_T = jax.random.normal(k_noise, shape)
-
+        B = cfg.batch_samples
+        n_batches = max(1, cfg.calib_num_samples // B)
         unet_vars = variables["unet"]
 
-        if self.is_conditional:
-            base = self.unet_fn(unet_vars, mode=FP)
-
-            def model_aux(x, t):
-                x_in = jnp.concatenate([x, x])
-                t_in = jnp.concatenate([t, t])
-                c_in = jnp.concatenate([uncond, context])
-                out, taps = self.ld.unet.apply(
-                    unet_vars, x_in, t_in, context=c_in,
-                    mode=FP.replace(capture=True), mutable=["taps"])
-                e_u, e_c = jnp.split(out, 2)
-                feat = taps["taps"]
-                for k in self._mid_tap_key():
-                    feat = feat[k]
-                return e_u + cfg.scale * (e_c - e_u), feat
-        else:
-            model_aux = self.unet_fn(unet_vars, context=context, mode=FP,
-                                     with_aux=True)
+        def make_model_aux(ctx_b, unc_b, with_feat):
+            if self.is_conditional:
+                def model_aux(x, t):
+                    x_in = jnp.concatenate([x, x])
+                    t_in = jnp.concatenate([t, t])
+                    c_in = jnp.concatenate([unc_b, ctx_b])
+                    mode = FP.replace(capture=with_feat)
+                    if with_feat:
+                        out, taps = self.ld.unet.apply(
+                            unet_vars, x_in, t_in, context=c_in, mode=mode,
+                            mutable=["taps"])
+                        feat = taps["taps"]
+                        for k in self._mid_tap_key():
+                            feat = feat[k]
+                    else:
+                        out = self.ld.unet.apply(unet_vars, x_in, t_in,
+                                                 context=c_in, mode=mode)
+                        feat = jnp.zeros(())
+                    e_u, e_c = jnp.split(out, 2)
+                    return e_u + cfg.scale * (e_c - e_u), feat
+                return model_aux
+            if with_feat:
+                return self.unet_fn(unet_vars, context=ctx_b, mode=FP,
+                                    with_aux=True)
+            fn = self.unet_fn(unet_vars, context=ctx_b, mode=FP)
+            return lambda x, t: (fn(x, t), jnp.zeros(()))
 
         sample_fn = (ldm_plms_sample if cfg.sampler == "plms"
                      else ldm_ddim_sample)
-        _, traj = jax.jit(lambda xx: sample_fn(
-            xx, self.sched, model_aux, key=k_traj, record_xt=True,
-            model_returns_aux=True))(x_T)
 
+        def run_traj(k_noise, k_traj, ctx_b, unc_b, with_feat):
+            x_T = jax.random.normal(
+                k_noise, (B, res, res, self.mc.unet.in_channels))
+            model_aux = make_model_aux(ctx_b, unc_b, with_feat)
+            _, traj = jax.jit(lambda xx: sample_fn(
+                xx, self.sched, model_aux, key=k_traj, record_xt=True,
+                model_returns_aux=True), static_argnums=())(x_T)
+            return traj
+
+        def ctx_slice(arr, r):
+            if arr is None:
+                return None
+            if arr.shape[0] >= (r + 1) * B:
+                return arr[r * B:(r + 1) * B]
+            return arr[:B]
+
+        key, k_sel = jax.random.split(key)
+        keys = jax.random.split(key, 2 * n_batches).reshape(n_batches, 2, -1)
+
+        traj0 = run_traj(keys[0, 0], keys[0, 1], ctx_slice(context, 0),
+                         ctx_slice(uncond, 0), with_feat=True)
         dense_r = DENSE_R.get(cfg.task, 3.0)
         # ascending seq: select_calib_set maps code c → seq[len-1-c]
         # (calibration.py:146-149), i.e. step 0 (= x_T) → largest t
-        sel = select_calib_set(traj["x"], traj["aux"],
-                               self.sched.ddim_timesteps,
-                               cfg.lamda, cfg.calib_num_samples, dense_r,
-                               k_sel)
+        sel = select_calib_set(traj0["x"], traj0["aux"],
+                               self.sched.ddim_timesteps, cfg.lamda,
+                               cfg.calib_num_samples, dense_r, k_sel)
+        if n_batches == 1:
+            return sel
+
+        # gather each batch's slice from its own trajectory
+        pos = np.arange(B)
+        chunks = [sel.calib_x[:B]]
+        for r in range(1, n_batches):
+            traj_r = run_traj(keys[r, 0], keys[r, 1], ctx_slice(context, r),
+                              ctx_slice(uncond, r), with_feat=False)
+            codes_r = jnp.asarray(sel.time_codes[r * B:(r + 1) * B])
+            chunks.append(traj_r["x"][codes_r, jnp.asarray(pos)])
+        sel.calib_x = jnp.concatenate(chunks)
         return sel
 
     # ------------------------------------------------------------------
@@ -217,9 +258,13 @@ class LDMPipeline:
         if not self.is_conditional:
             return (sel.calib_x, sel.calib_t)
         n = sel.calib_x.shape[0]
-        pos = np.arange(n) % context.shape[0]
-        ctx = jnp.asarray(context)[jnp.asarray(pos)]
-        unc = jnp.asarray(uncond)[jnp.asarray(pos)]
+        if context.shape[0] >= n:
+            ctx = jnp.asarray(context)[:n]
+            unc = jnp.asarray(uncond)[:n]
+        else:
+            pos = jnp.asarray(np.arange(n) % context.shape[0])
+            ctx = jnp.asarray(context)[pos]
+            unc = jnp.asarray(uncond)[pos]
         x2 = jnp.concatenate([sel.calib_x, sel.calib_x])
         t2 = jnp.concatenate([sel.calib_t, sel.calib_t])
         c2 = jnp.concatenate([unc, ctx])
