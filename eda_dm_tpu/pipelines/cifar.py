@@ -97,6 +97,7 @@ class CifarPipeline:
         self.seq = skip_sequence(cfg.skip_type, cfg.timesteps,
                                  cfg.num_diffusion_timesteps)
         self.root_key = jax.random.PRNGKey(cfg.seed)
+        self._sampler_cache = {}
 
     # ------------------------------------------------------------------
     def init_variables(self, key: Optional[jax.Array] = None):
@@ -189,8 +190,13 @@ class CifarPipeline:
         cfg = self.cfg
         total = max_images or cfg.max_images
         bs = min(cfg.sample_batch_size, total)
-        sample = jax.jit(
-            lambda v, k: self.sample_batch(v, k, batch_size=bs, mode=mode))
+        # one compiled sampler per (batch, mode) across all sample_fid calls
+        cache_key = (bs, mode)
+        if cache_key not in self._sampler_cache:
+            self._sampler_cache[cache_key] = jax.jit(
+                lambda v, k: self.sample_batch(v, k, batch_size=bs,
+                                               mode=mode))
+        sample = self._sampler_cache[cache_key]
         key = jax.random.PRNGKey(cfg.seed)
         n_rounds = -(-total // bs)
         images = [] if out_dir is None else None

@@ -123,6 +123,7 @@ class LDMPipeline:
             eta=cfg.eta)
         self.root_key = jax.random.PRNGKey(cfg.seed)
         self.is_conditional = cfg.scale != 1.0 and self.mc.cond != "none"
+        self._sampler_cache = {}
 
     # ------------------------------------------------------------------
     def init_variables(self, key: Optional[jax.Array] = None):
@@ -333,8 +334,12 @@ class LDMPipeline:
         total = n_samples or cfg.n_samples
         bs = min(cfg.batch_size, total)
         key = jax.random.PRNGKey(cfg.seed)
-        sample = jax.jit(lambda v, k, ctx, unc: self.sample_batch(
-            v, k, batch_size=bs, context=ctx, uncond=unc, mode=mode))
+        cache_key = (bs, mode)
+        if cache_key not in self._sampler_cache:
+            self._sampler_cache[cache_key] = jax.jit(
+                lambda v, k, ctx, unc: self.sample_batch(
+                    v, k, batch_size=bs, context=ctx, uncond=unc, mode=mode))
+        sample = self._sampler_cache[cache_key]
         images = [] if out_dir is None else None
         img_id = 0
         while img_id < total:
