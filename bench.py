@@ -3,13 +3,13 @@
 Prints ONE JSON line:
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-``value`` is quantized (W4A8 fake-quant) denoise model evaluations per
-second per chip at the reference's FID sampling batch size (500,
-configs/cifar10.yml sampling.batch_size).  ``vs_baseline`` is the ratio vs
-the FP32 forward on the same chip — the analogue of the reference's
-"acceleration vs FP" headline (README.md:92-124), which for the reference
-requires external INT CUDA kernels; here the fake-quant path runs extra
-elementwise work, so >1 requires the real int8 MXU path (later rounds).
+``value`` is quantized (W4A8, deployment-folded weights + runtime act
+quantizers — numerically identical to the fake-quant path, see
+eda_dm_tpu/quant/export.py) denoise model evaluations per second per chip
+at the reference's FID sampling batch size (500, configs/cifar10.yml
+sampling.batch_size).  ``vs_baseline`` is the ratio vs the FP32 forward on
+the same chip — the analogue of the reference's "acceleration vs FP"
+headline (README.md:92-124).
 """
 
 import json
@@ -41,17 +41,22 @@ def main():
         mutable=["quant"]))(variables)
     variables = {**variables, "quant": upd["quant"]}
 
-    def bench_mode(mode, iters=10):
+    from eda_dm_tpu.quant.export import fold_quantized_weights, DEPLOY
+
+    deployed = fold_quantized_weights(variables,
+                                      QuantConfig(weight_bit=4, act_bit=8))
+
+    def bench_mode(vs, mode, iters=10):
         fn = jax.jit(lambda v, x, t: model.apply(v, x, t, mode))
-        fn(variables, x, t).block_until_ready()          # compile
+        fn(vs, x, t).block_until_ready()                 # compile
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = fn(variables, x, t)
+            out = fn(vs, x, t)
         out.block_until_ready()
         return iters / (time.perf_counter() - t0)
 
-    q_sps = bench_mode(WAQ)
-    fp_sps = bench_mode(FP)
+    q_sps = bench_mode(deployed, DEPLOY)
+    fp_sps = bench_mode(variables, FP)
 
     print(json.dumps({
         "metric": "W4A8 UNet denoise steps/sec/chip (batch 500, CIFAR arch)",

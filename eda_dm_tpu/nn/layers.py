@@ -123,6 +123,10 @@ class _WeightQuant:
                           lambda: jnp.zeros(shape, jnp.float32))
         alpha = mdl.variable("quant", f"{name}_alpha",
                              lambda: jnp.zeros(kernel.shape, jnp.float32))
+        # record the (possibly per-layer overridden) width for deployment
+        # export (quant/export.py reads it to clamp correctly)
+        mdl.variable("quant", f"{name}_bits",
+                     lambda: jnp.asarray(spec.n_bits, jnp.int32))
         if mode.calib_w:
             d, z = search.weight_qparams(
                 kernel, spec.n_levels, spec.symmetric,

@@ -1,0 +1,37 @@
+"""Deployment export: folded weights + act-only mode ≡ full fake-quant."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from eda_dm_tpu.models.ddpm_unet import DDPMUNet, DDPMConfig
+from eda_dm_tpu.quant import QuantConfig, QuantMode, FP, WAQ, CALIB_W, CALIB_A
+from eda_dm_tpu.quant.export import fold_quantized_weights, DEPLOY
+
+
+def test_folded_deploy_matches_fakequant():
+    arch = DDPMConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                      attn_resolutions=(8,), resolution=16)
+    qc = QuantConfig(weight_bit=4, act_bit=8)
+    model = DDPMUNet(cfg=arch, qc=qc)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (4, 16, 16, 3))
+    t = jnp.full((4,), 20.0)
+    variables = model.init(key, x, t, FP)
+    _, upd = model.apply(variables, x, t, CALIB_W, mutable=["quant"])
+    variables = {**variables, "quant": upd["quant"]}
+    _, upd = model.apply(variables, x, t, CALIB_A, mutable=["quant"])
+    variables = {**variables, "quant": upd["quant"]}
+
+    ref = model.apply(variables, x, t, WAQ)
+    deployed = fold_quantized_weights(variables, qc)
+    out = model.apply(deployed, x, t, DEPLOY)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6,
+                               atol=1e-6)
+
+    # the 8-bit first/last override must be honored: temb_dense_0's folded
+    # kernel takes more distinct values than 4-bit would allow
+    k = np.asarray(deployed["params"]["temb_dense_0"]["kernel"])
+    d = np.asarray(variables["quant"]["temb_dense_0"]["w0_delta"])
+    levels = len(np.unique(np.round(k[:, 0] / d[0, 0]).astype(int)))
+    assert levels > 16
