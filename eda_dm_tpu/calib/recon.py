@@ -176,6 +176,90 @@ def _linear_temp_decay(t, iters: int, warmup: float, b_range):
     return jnp.where(t < start, float(b_range[0]), b)
 
 
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _recon_scan(module, has_temb: bool, has_ctx: bool,
+                inner_taps: Tuple[Tuple[str, ...], ...], use_inner: bool,
+                args: ReconArgs, block_params, frozen, train, data, key):
+    """The per-target optimization scan.
+
+    Static args exclude the target's name/path, and flax modules hash by
+    field values — so equal block configs with equal data shapes share one
+    compiled program across targets (the CIFAR UNet repeats most of its
+    block shapes).
+    """
+    mode = QuantMode(w_quant=True, a_quant=args.act_quant,
+                     soft_targets=args.recon_w, training=True, capture=True)
+    inp_q, inp_s, temb_q, ctx_q, out_fp_all, inner_fp = data
+    n = out_fp_all.shape[0]
+    bs = min(args.batch_size, n)
+
+    labels = _param_labels(train)
+    w_sched = optax.cosine_decay_schedule(args.lr_w, args.iters)
+    a_sched = optax.cosine_decay_schedule(args.lr_a, args.iters)
+    tx = optax.multi_transform(
+        {"w": optax.adam(w_sched), "a": optax.adam(a_sched)}, labels)
+    opt_state = tx.init(train)
+    dummy = jnp.zeros((bs, 0))
+
+    def forward(train_leaves, x, temb, ctx, rng):
+        quant = deep_merge(frozen, train_leaves)
+        vs = {"params": block_params, "quant": quant}
+        if has_temb:
+            a = (x, temb)
+        elif has_ctx:
+            a = (x, ctx)
+        else:
+            a = (x,)
+        out, taps = module.apply(vs, *a, mode, mutable=["taps"],
+                                 rngs={"qdrop": rng})
+        return out, taps["taps"]
+
+    def loss_fn(train_leaves, batch, rng, it):
+        x, temb, ctx, out_fp, inners = batch
+        out, taps = forward(train_leaves, x, temb, ctx, rng)
+        loss = lp_loss(out, out_fp, args.p, channel_axis=-1)
+        if use_inner:
+            m_loss = 0.0
+            for tap_path, fp_act in zip(inner_taps[:-1], inners[:-1]):
+                q_act = get_subtree(taps, tap_path + ("out",))
+                m_loss = m_loss + lp_loss(q_act, fp_act, 2.0, channel_axis=-1)
+            loss = loss + args.add_loss * m_loss
+        if args.round_loss == "relaxation":
+            b = _linear_temp_decay(it, args.iters, args.warmup, args.b_range)
+            reg = sum(round_regularization(v, b) for p, v in
+                      jax.tree_util.tree_flatten_with_path(train_leaves)[0]
+                      if jax.tree_util.keystr(p).endswith("_alpha']"))
+            loss = loss + args.weight * reg
+        return loss
+
+    def step(carry, it):
+        train_leaves, opt_state, key = carry
+        key, k_idx, k_mix, k_drop = jax.random.split(key, 4)
+        idx = jax.random.choice(k_idx, n, (bs,), replace=False)
+        xq = jnp.take(inp_q, idx, axis=0)
+        xs = jnp.take(inp_s, idx, axis=0)
+        if args.input_prob < 1.0:
+            m = jax.random.uniform(k_mix, xq.shape) < args.input_prob
+            x = jnp.where(m, xq, xs)
+        else:
+            x = xs                     # reference: cur_inp = cur_sym (:145)
+        temb = (jnp.take(temb_q, idx, axis=0) if temb_q is not None
+                else dummy)
+        ctx = (jnp.take(ctx_q, idx, axis=0) if ctx_q is not None else dummy)
+        out_fp = jnp.take(out_fp_all, idx, axis=0)
+        inners = tuple(jnp.take(a, idx, axis=0) for a in inner_fp)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            train_leaves, (x, temb, ctx, out_fp, inners), k_drop,
+            it.astype(jnp.float32))
+        updates, opt_state = tx.update(grads, opt_state, train_leaves)
+        train_leaves = optax.apply_updates(train_leaves, updates)
+        return (train_leaves, opt_state, key), loss
+
+    (train, _, _), losses = jax.lax.scan(
+        step, (train, opt_state, key), jnp.arange(args.iters))
+    return train, losses
+
+
 def reconstruct_target(target: ReconTarget, variables: Dict[str, Any],
                        data: Dict[str, Any], args: ReconArgs,
                        key: jax.Array) -> Dict[str, Any]:
@@ -200,83 +284,15 @@ def reconstruct_target(target: ReconTarget, variables: Dict[str, Any],
     if not jax.tree.leaves(train):
         return variables, jnp.zeros((args.iters,))
 
-    mode = QuantMode(w_quant=True, a_quant=args.act_quant,
-                     soft_targets=args.recon_w, training=True, capture=True)
-
-    n = data["out_fp"].shape[0]
-    bs = min(args.batch_size, n)
     inner_fp = data.get("inner_fp", ())
     use_inner = target.kind == "block" and len(inner_fp) > 1 and \
         args.add_loss > 0.0
-
-    labels = _param_labels(train)
-    w_sched = optax.cosine_decay_schedule(args.lr_w, args.iters)
-    a_sched = optax.cosine_decay_schedule(args.lr_a, args.iters)
-    tx = optax.multi_transform(
-        {"w": optax.adam(w_sched), "a": optax.adam(a_sched)}, labels)
-    opt_state = tx.init(train)
-
-    def forward(train_leaves, x, temb, ctx, rng):
-        quant = deep_merge(frozen, train_leaves)
-        vs = {"params": block_params, "quant": quant}
-        if target.has_temb:
-            args = (x, temb)
-        elif target.has_ctx:
-            args = (x, ctx)
-        else:
-            args = (x,)
-        out, taps = target.module.apply(vs, *args, mode, mutable=["taps"],
-                                        rngs={"qdrop": rng})
-        return out, taps["taps"]
-
-    def loss_fn(train_leaves, batch, rng, it):
-        x, temb, ctx, out_fp, inners = batch
-        out, taps = forward(train_leaves, x, temb, ctx, rng)
-        loss = lp_loss(out, out_fp, args.p, channel_axis=-1)
-        if use_inner:
-            m_loss = 0.0
-            for tap_path, fp_act in zip(target.inner_taps[:-1], inners[:-1]):
-                q_act = get_subtree(taps, tap_path + ("out",))
-                m_loss = m_loss + lp_loss(q_act, fp_act, 2.0, channel_axis=-1)
-            loss = loss + args.add_loss * m_loss
-        if args.round_loss == "relaxation":
-            b = _linear_temp_decay(it, args.iters, args.warmup, args.b_range)
-            reg = sum(round_regularization(v, b) for p, v in
-                      jax.tree_util.tree_flatten_with_path(train_leaves)[0]
-                      if jax.tree_util.keystr(p).endswith("_alpha']"))
-            loss = loss + args.weight * reg
-        return loss
-
-    inp_q, inp_s = data["inp_q"], data["inp_s"]
-    temb_q = data.get("temb_q")
-    ctx_q = data.get("ctx_q")
-    dummy = jnp.zeros((bs, 0))
-
-    def step(carry, it):
-        train_leaves, opt_state, key = carry
-        key, k_idx, k_mix, k_drop = jax.random.split(key, 4)
-        idx = jax.random.choice(k_idx, n, (bs,), replace=False)
-        xq = jnp.take(inp_q, idx, axis=0)
-        xs = jnp.take(inp_s, idx, axis=0)
-        if args.input_prob < 1.0:
-            m = jax.random.uniform(k_mix, xq.shape) < args.input_prob
-            x = jnp.where(m, xq, xs)
-        else:
-            x = xs                     # reference: cur_inp = cur_sym (:145)
-        temb = (jnp.take(temb_q, idx, axis=0) if temb_q is not None
-                else dummy)
-        ctx = (jnp.take(ctx_q, idx, axis=0) if ctx_q is not None else dummy)
-        out_fp = jnp.take(data["out_fp"], idx, axis=0)
-        inners = tuple(jnp.take(a, idx, axis=0) for a in inner_fp)
-        loss, grads = jax.value_and_grad(loss_fn)(
-            train_leaves, (x, temb, ctx, out_fp, inners), k_drop,
-            it.astype(jnp.float32))
-        updates, opt_state = tx.update(grads, opt_state, train_leaves)
-        train_leaves = optax.apply_updates(train_leaves, updates)
-        return (train_leaves, opt_state, key), loss
-
-    (train, _, _), losses = jax.lax.scan(
-        step, (train, opt_state, key), jnp.arange(args.iters))
+    packed = (data["inp_q"], data["inp_s"], data.get("temb_q"),
+              data.get("ctx_q"), data["out_fp"], tuple(inner_fp))
+    train, losses = _recon_scan(target.module, target.has_temb,
+                                target.has_ctx, target.inner_taps, use_inner,
+                                args, block_params, frozen, train, packed,
+                                key)
 
     new_quant_sub = deep_merge(block_quant, train)
     new_quant = set_subtree(variables["quant"], target.path, new_quant_sub)
