@@ -345,7 +345,14 @@ def reconstruct(model, variables: Dict[str, Any], cali_data: Sequence,
     Order matters: each target's quantized-input capture sees the quantizer
     state produced by all previous targets.
     """
+    data = None
     for i, target in enumerate(plan):
+        # release the previous target's activation caches before capturing
+        # the next (high-res up-level caches are multi-GB at batch 1024)
+        if data is not None:
+            jax.tree.map(lambda x: x.delete() if hasattr(x, "delete") else None,
+                         data)
+            data = None
         data = build_target_data(model, variables, cali_data, target, args)
         key, sub = jax.random.split(key)
         variables, losses = reconstruct_target(target, variables, data, args,

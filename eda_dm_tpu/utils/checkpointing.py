@@ -64,8 +64,12 @@ def resumable_reconstruct(model, variables, cali_data, plan, args, key,
         start = int(meta["completed"])
 
     keys = jax.random.split(key, len(plan))
+    data = None
     for i in range(start, len(plan)):
         target = plan[i]
+        if data is not None:
+            jax.tree.map(lambda x: x.delete() if hasattr(x, "delete")
+                         else None, data)
         data = build_target_data(model, variables, cali_data, target, args)
         variables, losses = reconstruct_target(target, variables, data, args,
                                                keys[i])
