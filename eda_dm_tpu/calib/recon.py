@@ -99,35 +99,44 @@ def quant_capture_mode(act_quant: bool) -> QuantMode:
     return QuantMode(w_quant=True, a_quant=act_quant, capture=True)
 
 
-@partial(jax.jit, static_argnums=(0, 3, 4))
+@partial(jax.jit, static_argnums=(0, 3, 4, 5))
 def _capture_batch(model, variables, batch, path: Tuple[str, ...],
-                   mode: QuantMode):
-    """Run the model, return (target-subtree taps, quantized temb tap).
+                   keep: Tuple[Tuple[str, ...], ...], mode: QuantMode):
+    """Run the model, return only the ``keep`` tap leaves (+ temb).
 
-    Only the selected subtree escapes the jit, so XLA prunes the suffix — the
-    functional analogue of DataSaverHook's StopForwardException
-    (data_utils.py:78-104).
+    Selecting individual leaves inside the jit lets XLA dead-code-eliminate
+    both the suffix of the network (the reference's StopForwardException,
+    data_utils.py:78-104) and the unused taps — at high resolutions the
+    unselected 'in' taps alone are multiple GB per capture.
     """
     _, taps = model.apply(variables, *batch, mode=mode, mutable=["taps"])
     sub = get_subtree(taps["taps"], path)
+    kept = tuple(get_subtree(sub, kp) for kp in keep)
     temb = taps["taps"].get("temb")
-    return sub, temb
+    return kept, temb
 
 
 def capture_target(model, variables, cali_data: Sequence, target: ReconTarget,
-                   mode: QuantMode, batch_size: Optional[int] = None):
-    """Capture the target's taps over the calibration set, batched."""
+                   mode: QuantMode, keep: Tuple[Tuple[str, ...], ...],
+                   batch_size: Optional[int] = None):
+    """Capture selected taps over the calibration set, batched.
+
+    Returns (dict keyed by keep-path, temb).
+    """
     n = cali_data[0].shape[0]
     bs = batch_size or n
     subs, tembs = [], []
     for i in range(max(1, n // bs)):
         batch = tuple(a[i * bs:(i + 1) * bs] for a in cali_data)
-        sub, temb = _capture_batch(model, variables, batch, target.path, mode)
-        subs.append(sub)
+        kept, temb = _capture_batch(model, variables, batch, target.path,
+                                    keep, mode)
+        subs.append(kept)
         tembs.append(temb)
-    sub = jax.tree.map(lambda *xs: jnp.concatenate(xs), *subs)
+    kept = tuple(jnp.concatenate([s[j] for s in subs])
+                 for j in range(len(keep)))
+    del subs
     temb = (jnp.concatenate(tembs) if tembs[0] is not None else None)
-    return sub, temb
+    return dict(zip(keep, kept)), temb
 
 
 # --------------------------------------------------------------------------
@@ -307,17 +316,26 @@ def build_target_data(model, variables, cali_data, target: ReconTarget,
                       args: ReconArgs) -> Dict[str, Any]:
     """FP + quantized captures for one target (save_inp_oup_data equivalent,
     data_utils.py:7-75)."""
+    if target.kind == "block":
+        in_key, out_key = ("block_in",), ("block_out",)
+    else:
+        in_key, out_key = ("in",), ("out",)
+    fp_keep = [in_key, out_key]
+    if target.kind == "block":
+        fp_keep += [tp + ("out",) for tp in target.inner_taps]
+    q_keep = [in_key]
+    if target.has_ctx:
+        fp_keep.append(("block_ctx",))
+        q_keep.append(("block_ctx",))
+
     fp_sub, fp_temb = capture_target(model, variables, cali_data, target,
-                                     FP_CAPTURE, args.capture_batch_size)
+                                     FP_CAPTURE, tuple(fp_keep),
+                                     args.capture_batch_size)
     q_sub, q_temb = capture_target(
         model, variables, cali_data, target,
         quant_capture_mode(args.act_quant) if args.asym else FP_CAPTURE,
-        args.capture_batch_size)
+        tuple(q_keep), args.capture_batch_size)
 
-    if target.kind == "block":
-        in_key, out_key = "block_in", "block_out"
-    else:
-        in_key, out_key = "in", "out"
     data = {
         "inp_s": fp_sub[in_key],
         "inp_q": q_sub[in_key],
@@ -327,11 +345,11 @@ def build_target_data(model, variables, cali_data, target: ReconTarget,
         data["temb_s"] = fp_temb
         data["temb_q"] = q_temb
     if target.has_ctx:
-        data["ctx_q"] = q_sub.get("block_ctx")
-        data["ctx_s"] = fp_sub.get("block_ctx")
+        data["ctx_q"] = q_sub.get(("block_ctx",))
+        data["ctx_s"] = fp_sub.get(("block_ctx",))
     if target.kind == "block":
         data["inner_fp"] = tuple(
-            get_subtree(fp_sub, tp + ("out",)) for tp in target.inner_taps)
+            fp_sub[tp + ("out",)] for tp in target.inner_taps)
     return data
 
 
