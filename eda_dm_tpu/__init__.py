@@ -11,3 +11,5 @@ translated from the reference's single-GPU PyTorch.
 __version__ = "0.1.0"
 
 from . import quant  # noqa: F401
+from .api import (quantize_model, calibrate, reconstruct,  # noqa: F401
+                  export_for_serving)

@@ -1,0 +1,104 @@
+"""Top-level convenience API.
+
+The four-verb surface SURVEY §7 specifies, mirroring the reference's
+``QuantModel`` / ``set_*_quantize_params`` / ``recon_*_Qmodel`` /
+``sample_fid`` entry points:
+
+    quantize_model(...)   → (model, variables)
+    calibrate(...)        → variables with initialized scales
+    reconstruct(...)      → variables with optimized rounding/scales
+    sample(...)           → images
+
+Task pipelines (`pipelines.cifar.CifarPipeline`, `pipelines.latent.
+LDMPipeline`) remain the full-featured drivers; this facade is the
+minimal-ceremony path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+
+from .quant.config import QuantConfig, QuantMode, FP, WAQ
+from .quant.export import fold_quantized_weights, DEPLOY
+from .calib.scale_init import set_weight_quantize_params, \
+    set_act_quantize_params
+from .calib.recon import ReconArgs, reconstruct as _reconstruct
+
+
+def quantize_model(model_family: str, arch=None,
+                   qc: Optional[QuantConfig] = None,
+                   key: Optional[jax.Array] = None,
+                   ckpt_path: Optional[str] = None):
+    """Build a quantization-aware model + variables.
+
+    model_family: 'ddpm' (pixel UNet) or 'ldm' (openai UNet).
+    """
+    import jax.numpy as jnp
+    qc = qc or QuantConfig()
+    key = key if key is not None else jax.random.PRNGKey(0)
+    if model_family == "ddpm":
+        from .models.ddpm_unet import DDPMUNet, DDPMConfig
+        from .models.convert import load_ddpm_checkpoint
+        arch = arch or DDPMConfig()
+        model = DDPMUNet(cfg=arch, qc=qc)
+        x = jnp.zeros((1, arch.resolution, arch.resolution,
+                       arch.in_channels))
+        variables = model.init(key, x, jnp.zeros((1,)), FP)
+        if ckpt_path:
+            variables = {**variables, "params": jax.tree.map(
+                jnp.asarray, load_ddpm_checkpoint(ckpt_path))}
+        return model, variables
+    if model_family == "ldm":
+        from .models.ldm_unet import LDMUNet, LDMUNetConfig
+        from .models.convert import load_ldm_checkpoint
+        arch = arch or LDMUNetConfig()
+        model = LDMUNet(cfg=arch, qc=qc)
+        x = jnp.zeros((1, arch.image_size, arch.image_size,
+                       arch.in_channels))
+        ctx = (jnp.zeros((1, 1, arch.context_dim))
+               if arch.context_dim else None)
+        variables = model.init(key, x, jnp.zeros((1,)), context=ctx, mode=FP)
+        if ckpt_path:
+            unet_params, _, _ = load_ldm_checkpoint(ckpt_path)
+            variables = {**variables,
+                         "params": jax.tree.map(jnp.asarray, unet_params)}
+        return model, variables
+    raise ValueError(model_family)
+
+
+def calibrate(model, variables: Dict[str, Any], cali_data: Sequence,
+              act_batch_size: int = 256) -> Dict[str, Any]:
+    """Weight + activation scale initialization over a calibration set."""
+    variables = set_weight_quantize_params(model, variables, cali_data)
+    return set_act_quantize_params(model, variables, cali_data,
+                                   batch_size=act_batch_size)
+
+
+def reconstruct(model, variables: Dict[str, Any], cali_data: Sequence,
+                plan=None, args: Optional[ReconArgs] = None,
+                key: Optional[jax.Array] = None, mode: str = "block",
+                progress=None) -> Dict[str, Any]:
+    """AdaRound + FBR reconstruction over a plan (auto-derived if omitted)."""
+    if plan is None:
+        from .models.ddpm_unet import DDPMUNet, ddpm_recon_plan, \
+            ddpm_layer_plan
+        from .models.ldm_unet import LDMUNet, ldm_recon_plan
+        if isinstance(model, DDPMUNet):
+            plan = (ddpm_recon_plan if mode == "block"
+                    else ddpm_layer_plan)(model.cfg, model.qc)
+        elif isinstance(model, LDMUNet):
+            plan = ldm_recon_plan(model.cfg, model.qc)
+        else:
+            raise ValueError("pass an explicit plan for custom models")
+    return _reconstruct(model, variables, cali_data, plan,
+                        args or ReconArgs(),
+                        key if key is not None else jax.random.PRNGKey(0),
+                        progress=progress)
+
+
+def export_for_serving(variables: Dict[str, Any], qc: QuantConfig):
+    """Fold quantized weights for the FP-speed serving path; use
+    ``quant.export.DEPLOY`` as the forward mode."""
+    return fold_quantized_weights(variables, qc)
