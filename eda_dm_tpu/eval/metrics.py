@@ -83,25 +83,16 @@ def clip_score(image_features: np.ndarray, text_features: np.ndarray,
 
 def load_inception_extractor(weights_path: Optional[str] = None
                              ) -> Callable[[np.ndarray], np.ndarray]:
-    """Pluggable InceptionV3 pool3 extractor.
+    """In-framework InceptionV3 pool3 extractor (flax, jitted).
 
-    Offline environment: pretrained InceptionV3 weights cannot be
-    downloaded.  If ``weights_path`` points at a torchvision inception
-    checkpoint it is loaded via torch; otherwise a clear error explains how
-    to supply features.
+    ``weights_path``: local ``pt_inception-2015-12-05-6726825d.pth``
+    (pytorch-fid's weight file; this offline environment cannot download
+    it).  ``None`` runs the same graph on random init — useful for
+    relative/self-consistency runs and tests; real FID scores need the
+    pretrained file.  See :mod:`eda_dm_tpu.eval.inception`.
     """
-    if weights_path is None:
-        raise RuntimeError(
-            "No Inception weights available offline. Either pass "
-            "weights_path to a local inception_v3 checkpoint, or compute "
-            "features elsewhere and use fid_from_features/FeatureStats.")
-    import torch
-    from torch import nn
-
-    state = torch.load(weights_path, map_location="cpu")
-    raise NotImplementedError(
-        "torchvision is not installed in this image; supply features "
-        "directly (fid_from_features) or add an extractor.")
+    from .inception import InceptionExtractor
+    return InceptionExtractor(weights_path).pool3
 
 
 def center_resize_image(img: np.ndarray, size: int = 512) -> np.ndarray:

@@ -143,6 +143,48 @@ def ldm_unet_state_dict_to_params(state_dict: Mapping[str, Any]) -> Dict[str, An
     return params
 
 
+def apply_ema_weights(state_dict: Mapping[str, Any],
+                      prefix: str = "model.",
+                      ema_prefix: str = "model_ema."):
+    """Swap EMA shadow weights into the ``model.*`` entries of a checkpoint.
+
+    Mirrors ``LitEma.copy_to`` (/root/reference/ldm/modules/ema.py:5,46-58)
+    as invoked by every latent task before quantization
+    (scripts/sample_diffusion_ldm_bedroom.py:256-257,
+    sample_diffusion_ldm_church.py:252-253,
+    sample_diffusion_ldm_imagenet.py:216, sample_txt2img.py:234 via
+    ``model.ema_scope()``).  CompVis lightning checkpoints store *both* the
+    raw trainable weights (``model.diffusion_model.*``) and the EMA shadows:
+    ``LitEma`` registers one buffer per trainable parameter, named by
+    stripping every ``.`` from the parameter name, so the checkpoint keys are
+    ``model_ema.<name-without-dots>``.  The squashing is inverted here by
+    mapping *forward* from each ``model.*`` key.  ``copy_to`` additionally
+    looks names containing ``.model.`` up under the contracted name
+    (ema.py:52); that fallback is reproduced.
+
+    Returns ``(new_state_dict, n_swapped)``.  ``n_swapped == 0`` means the
+    checkpoint carries no EMA shadows (e.g. the Heidelberg DDPM pickles,
+    whose weights are already EMA) and the input is returned unchanged.
+    """
+    ema = {k[len(ema_prefix):]: v for k, v in state_dict.items()
+           if k.startswith(ema_prefix)}
+    if not ema:
+        return dict(state_dict), 0
+    out: Dict[str, Any] = {}
+    n = 0
+    for k, v in state_dict.items():
+        if k.startswith(prefix) and not k.startswith(ema_prefix):
+            pname = k[len(prefix):]
+            squashed = pname.replace(".", "")
+            contracted = pname.replace(".model.", ".").replace(".", "")
+            if squashed in ema:
+                v, n = ema[squashed], n + 1
+            elif contracted in ema:
+                v, n = ema[contracted], n + 1
+        out[k] = v
+    return out, n
+
+
 def split_latent_diffusion_state_dict(state_dict: Mapping[str, Any]):
     """Split a LatentDiffusion checkpoint into its three component dicts.
 
@@ -162,12 +204,20 @@ def split_latent_diffusion_state_dict(state_dict: Mapping[str, Any]):
     return unet, first_stage, cond_stage
 
 
-def load_ldm_checkpoint(path: str):
-    """torch.load a LatentDiffusion checkpoint and convert the UNet part."""
+def load_ldm_checkpoint(path: str, use_ema: bool = True):
+    """torch.load a LatentDiffusion checkpoint and convert the UNet part.
+
+    ``use_ema=True`` (the reference's default behaviour — every latent task
+    swaps EMA weights in before quantization, see :func:`apply_ema_weights`)
+    replaces the raw UNet weights with their ``model_ema.*`` shadows when the
+    checkpoint carries them.
+    """
     import torch
     state = torch.load(path, map_location="cpu", weights_only=True)
     if isinstance(state, dict) and "state_dict" in state:
         state = state["state_dict"]
+    if use_ema:
+        state, _ = apply_ema_weights(state)
     unet_sd, first_sd, cond_sd = split_latent_diffusion_state_dict(state)
     return ldm_unet_state_dict_to_params(unet_sd), first_sd, cond_sd
 

@@ -141,13 +141,17 @@ class AttnBlockD(nn.Module):
             k = ActQuantizer(self.aq, name="act_quantizer_k")(k, mode)
         w = jnp.einsum("nic,njc->nij", q, k,
                        preferred_element_type=jnp.float32) * (c ** -0.5)
-        w = jax.nn.softmax(w, axis=-1)
+        # softmax in f32 for stability; the (n, hw, hw) probability tensor is
+        # materialized in the carrier dtype (half traffic on the bf16 path)
+        w = jax.nn.softmax(w, axis=-1).astype(x.dtype)
         if mode.a_quant or mode.calib_a:
             v = ActQuantizer(self.aq, name="act_quantizer_v")(v, mode)
             w = ActQuantizer(self.aq_w, name="act_quantizer_w")(w, mode)
         h = jnp.einsum("nij,njc->nic", w, v,
                        preferred_element_type=jnp.float32)
-        h = h.reshape(n, hh, ww, c)
+        # keep MXU accumulation in f32 but return to the carrier dtype so a
+        # bf16 serving pass is not promoted back to f32 by the residual add
+        h = h.astype(x.dtype).reshape(n, hh, ww, c)
         h = QConv(c, (1, 1), padding="VALID", wq=self.wq, aq=self.aq,
                   name="proj_out")(h, mode)
         out = x + h
@@ -312,7 +316,10 @@ class DDPMUNet(nn.Module):
     def __call__(self, x: jnp.ndarray, t: jnp.ndarray,
                  mode: QuantMode = QuantMode()) -> jnp.ndarray:
         cfg = self.cfg
-        temb = timestep_embedding(t, cfg.ch)
+        # carrier dtype follows the input (bf16 on the deployment path); the
+        # f32 sinusoid is cast before the first dense so the temb chain does
+        # not promote every residual add back to f32
+        temb = timestep_embedding(t, cfg.ch).astype(x.dtype)
         temb = self.temb_dense_0(temb, mode)
         temb = self.temb_dense_1(swish(temb), mode)
         if mode.capture:

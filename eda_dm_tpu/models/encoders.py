@@ -72,3 +72,62 @@ class FrozenCLIPTextEncoder:
         out = self.model(input_ids=batch["input_ids"],
                          attention_mask=None)
         return jnp.asarray(out.last_hidden_state)
+
+
+class _TinyTextModule(nn.Module):
+    """Small causal-free transformer producing (B, T, context_dim)."""
+
+    context_dim: int
+    vocab: int
+    depth: int = 2
+    heads: int = 4
+
+    @nn.compact
+    def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
+        d = self.context_dim
+        h = nn.Embed(self.vocab, d, name="tok")(ids)
+        h = h + self.param("pos", nn.initializers.normal(0.02),
+                           (1, ids.shape[1], d))
+        for i in range(self.depth):
+            a = nn.LayerNorm(name=f"ln1_{i}")(h)
+            a = nn.SelfAttention(num_heads=self.heads, name=f"attn_{i}")(a)
+            h = h + a
+            f = nn.LayerNorm(name=f"ln2_{i}")(h)
+            f = nn.Dense(4 * d, name=f"fc1_{i}")(f)
+            f = nn.Dense(d, name=f"fc2_{i}")(jax.nn.gelu(f))
+            h = h + f
+        return nn.LayerNorm(name="ln_f")(h)
+
+
+class TinyTextEncoder:
+    """CLIP-shaped stand-in text encoder (random weights, no tokenizer
+    files): crc32 hash-tokenization → tiny flax transformer →
+    (B, 77, context_dim) context rows.
+
+    Exercises the full SD/COCO conditioning path — CFG calib assembly, PLMS
+    sampling, transformer-block reconstruction — without the (undownloadable
+    here) openai/clip-vit-large-patch14 weights.  Same ``encode`` interface
+    as :class:`FrozenCLIPTextEncoder`.
+    """
+
+    def __init__(self, context_dim: int = 768, max_length: int = 77,
+                 vocab: int = 4096, seed: int = 0):
+        self.max_length = max_length
+        self.vocab = vocab
+        self.module = _TinyTextModule(context_dim=context_dim, vocab=vocab)
+        ids = jnp.zeros((1, max_length), jnp.int32)
+        self.params = self.module.init(jax.random.PRNGKey(seed), ids)
+        self._fn = jax.jit(lambda p, i: self.module.apply(p, i))
+
+    def tokenize(self, prompts: Sequence[str]) -> np.ndarray:
+        import zlib
+        out = np.zeros((len(prompts), self.max_length), np.int32)
+        for r, p in enumerate(prompts):
+            toks = [zlib.crc32(w.encode()) % (self.vocab - 2) + 2
+                    for w in p.lower().split()][: self.max_length - 2]
+            row = [1] + toks + [0] * (self.max_length - 1 - len(toks))
+            out[r] = row
+        return out
+
+    def encode(self, prompts: Sequence[str]) -> jnp.ndarray:
+        return self._fn(self.params, jnp.asarray(self.tokenize(prompts)))

@@ -273,13 +273,15 @@ class AttentionBlockL(nn.Module):
             k = ActQuantizer(self.aq, name="act_quantizer_k")(k, mode)
         w = jnp.einsum("bthc,bshc->bhts", q, k,
                        preferred_element_type=jnp.float32)
-        w = jax.nn.softmax(w, axis=-1)
+        # f32 MXU accumulation + f32 softmax; materialize attention tensors
+        # in the carrier dtype (bf16 on the deployment path)
+        w = jax.nn.softmax(w, axis=-1).astype(x.dtype)
         if mode.a_quant or mode.calib_a:
             w = ActQuantizer(self.aq_w, name="act_quantizer_w")(w, mode)
             v = ActQuantizer(self.aq, name="act_quantizer_v")(v, mode)
         a = jnp.einsum("bhts,bshc->bthc", w, v,
                        preferred_element_type=jnp.float32)
-        a = a.reshape(b, t_len, c)
+        a = a.astype(x.dtype).reshape(b, t_len, c)
         h = QDense(c, wq=self.wq, aq=self.aq, name="proj_out")(a, mode)
         out = (xs + h).reshape(b, hh, ww, c)
         if mode.capture:
@@ -325,13 +327,14 @@ class CrossAttentionL(nn.Module):
         sim = jnp.einsum("bihd,bjhd->bhij", q, k,
                          preferred_element_type=jnp.float32) \
             * (self.dim_head ** -0.5)
-        attn = jax.nn.softmax(sim, axis=-1)
+        # f32 MXU accumulation + f32 softmax; carrier-dtype materialization
+        attn = jax.nn.softmax(sim, axis=-1).astype(x.dtype)
         if mode.a_quant or mode.calib_a:
             attn = ActQuantizer(self.aq_w, name="act_quantizer_w")(attn, mode)
             v = ActQuantizer(self.aq, name="act_quantizer_v")(v, mode)
         out = jnp.einsum("bhij,bjhd->bihd", attn, v,
                          preferred_element_type=jnp.float32)
-        out = out.reshape(b, n, inner)
+        out = out.astype(x.dtype).reshape(b, n, inner)
         return QDense(self.out_dim, wq=self.wq, aq=self.aq,
                       name="to_out_0")(out, mode)
 
@@ -519,7 +522,8 @@ class LDMUNet(nn.Module):
                  y: Optional[jnp.ndarray] = None,
                  mode: QuantMode = QuantMode()) -> jnp.ndarray:
         cfg = self.cfg
-        emb = timestep_embedding(t, cfg.model_channels)
+        # carrier dtype follows the input (bf16 on the deployment path)
+        emb = timestep_embedding(t, cfg.model_channels).astype(x.dtype)
         emb = self.time_embed["0"](emb, mode)
         emb = self.time_embed["2"](swish(emb), mode)
         if cfg.num_classes is not None:

@@ -359,6 +359,31 @@ class LDMPipeline:
         return np.concatenate(images) if out_dir is None else None
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def make_context_fn(context, uncond):
+        """Batch-cycling conditioning for the FID sweep.
+
+        The reference samples all 1000 ImageNet classes 50×, shuffled,
+        consumed batch-by-batch (sample_diffusion_ldm_imagenet.py:131-139);
+        COCO walks 10k distinct prompts (sample_txt2img.py:134-152).  Each
+        sampling batch therefore gets rows ``img_id : img_id+bs`` of the
+        conditioning tensor (wrapping when fewer rows than n_samples are
+        provided), never the same leading slice.
+        """
+        if context is None:
+            return None
+        context = jnp.asarray(context)
+        uncond = jnp.asarray(uncond) if uncond is not None else None
+
+        def rows(arr, start, count):
+            idx = jnp.asarray(np.arange(start, start + count) % arr.shape[0])
+            return arr[idx]
+
+        def context_fn(img_id: int, bs: int):
+            return (rows(context, img_id, bs),
+                    rows(uncond, img_id, bs) if uncond is not None else None)
+        return context_fn
+
     def run(self, out_dir: Optional[str] = None, variables=None,
             context=None, uncond=None, progress=None):
         key = self.root_key
@@ -374,6 +399,5 @@ class LDMPipeline:
                                          progress=progress)
         images = self.sample_fid(
             variables, out_dir=out_dir,
-            context_fn=(lambda i, b: (context[:b], uncond[:b]))
-            if context is not None else None)
+            context_fn=self.make_context_fn(context, uncond))
         return variables, images

@@ -70,10 +70,20 @@ def fake_quant(x: jnp.ndarray, delta: jnp.ndarray, zero_point: jnp.ndarray,
     Reference forward: /root/reference/qdiff/quant_layer.py:267-269.
     ``delta`` / ``zero_point`` broadcast against ``x`` (per-tensor scalars or
     per-channel shapes).
+
+    Dtype-preserving: level boundaries are always computed in float32 (so a
+    bf16 serving pass picks the same levels as the f32 calibration pass), but
+    the result is returned in ``x.dtype`` — on a bf16 deployment path the
+    materialized buffer stays half-width while the intermediate ops fuse in
+    VPU registers.
     """
-    x_int = round_ste(x / delta) + zero_point
-    x_quant = jnp.clip(x_int, 0.0, n_levels - 1)
-    return (x_quant - zero_point) * delta
+    xf = x.astype(jnp.float32)
+    # algebraically identical to clip(round(x/Δ)+zp, 0, n-1)-zp (zp is an
+    # integer-valued float, so folding it into the clip bounds is exact);
+    # two fewer VPU ops on the serving path
+    x_q = jnp.clip(round_ste(xf / delta), -zero_point,
+                   n_levels - 1 - zero_point)
+    return (x_q * delta).astype(x.dtype)
 
 
 def fake_quant_nograd(x: jnp.ndarray, delta: jnp.ndarray, zero_point: jnp.ndarray,

@@ -69,3 +69,27 @@ def fold_quantized_weights(variables: Dict[str, Any],
 
     new_params = fold(variables["params"], variables["quant"])
     return {**variables, "params": new_params}
+
+
+def export_serving(variables: Dict[str, Any], qc: QuantConfig,
+                   dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """Full deployment export: fold quantized weights, then cast the params
+    to the serving carrier dtype (bf16 by default).
+
+    The numerics stay W4A8: weights carry their hard-rounded 4/8-bit values
+    (folding is exact; the bf16 cast of an int4 grid point times a scale is
+    the only difference) and activations still pass through their 8-bit
+    quantizers, whose level boundaries are computed in f32
+    (quant/affine.py::fake_quant) so bf16 and f32 serving pick the same
+    levels.  bf16 is the TPU carrier for the quantized numbers exactly as
+    int8 CUTLASS kernels are the reference's carrier (README.md:83-85); on
+    TPU it halves all VPU/HBM activation traffic vs the FP32 baseline.
+
+    Quantizer state ('quant') is kept in f32.
+    """
+    folded = fold_quantized_weights(variables, qc)
+    params = jax.tree_util.tree_map(
+        lambda a: a.astype(dtype)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a,
+        folded["params"])
+    return {**folded, "params": params}
