@@ -35,3 +35,33 @@ def test_folded_deploy_matches_fakequant():
     d = np.asarray(variables["quant"]["temb_dense_0"]["w0_delta"])
     levels = len(np.unique(np.round(k[:, 0] / d[0, 0]).astype(int)))
     assert levels > 16
+
+
+def test_bf16_serving_quality():
+    """export_serving (bf16 carrier) must stay close to the f32 fake-quant
+    path: the carrier error has to be small relative to the quantization
+    error itself (the quantity the PTQ pipeline optimizes)."""
+    from eda_dm_tpu.quant.export import export_serving
+
+    arch = DDPMConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                      attn_resolutions=(8,), resolution=16)
+    qc = QuantConfig(weight_bit=4, act_bit=8)
+    model = DDPMUNet(cfg=arch, qc=qc)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (4, 16, 16, 3))
+    t = jnp.full((4,), 20.0)
+    variables = model.init(key, x, t, FP)
+    _, upd = model.apply(variables, x, t, CALIB_W, mutable=["quant"])
+    variables = {**variables, "quant": upd["quant"]}
+    _, upd = model.apply(variables, x, t, CALIB_A, mutable=["quant"])
+    variables = {**variables, "quant": upd["quant"]}
+
+    fp = model.apply(variables, x, t, FP)
+    fq = model.apply(variables, x, t, WAQ)
+    serving = export_serving(variables, qc)
+    out = model.apply(serving, x.astype(jnp.bfloat16), t, DEPLOY)
+    assert out.dtype == jnp.bfloat16
+
+    quant_err = float(jnp.mean(jnp.abs(fq - fp)))
+    carrier_err = float(jnp.mean(jnp.abs(out.astype(jnp.float32) - fq)))
+    assert carrier_err < 0.5 * quant_err, (carrier_err, quant_err)
