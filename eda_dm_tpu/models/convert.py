@@ -13,6 +13,7 @@ plain ``load_state_dict``).  Layout conventions:
 
 from __future__ import annotations
 
+import os
 import re
 from typing import Any, Dict, Mapping
 
@@ -23,11 +24,66 @@ import numpy as np
 # API parity — in an offline environment `load_ddpm_checkpoint` simply reads a
 # local path.
 DDPM_CKPT_NAMES = {
+    "cifar10": "diffusion_cifar10_model/model-790000.ckpt",
     "ema_cifar10": "ema_diffusion_cifar10_model/model-790000.ckpt",
+    "lsun_bedroom": "diffusion_lsun_bedroom_model/model-2388000.ckpt",
     "ema_lsun_bedroom": "ema_diffusion_lsun_bedroom_model/model-2388000.ckpt",
-    "ema_lsun_church": "ema_diffusion_lsun_church_model/model-4432000.ckpt",
+    "lsun_cat": "diffusion_lsun_cat_model/model-1761000.ckpt",
     "ema_lsun_cat": "ema_diffusion_lsun_cat_model/model-1761000.ckpt",
+    "lsun_church": "diffusion_lsun_church_model/model-4432000.ckpt",
+    "ema_lsun_church": "ema_diffusion_lsun_church_model/model-4432000.ckpt",
 }
+
+# published md5 digests of the Heidelberg checkpoints (ckpt_util.py:26-35)
+DDPM_CKPT_MD5 = {
+    "cifar10": "82ed3067fd1002f5cf4c339fb80c4669",
+    "ema_cifar10": "1fa350b952534ae442b1d5235cce5cd3",
+    "lsun_bedroom": "f70280ac0e08b8e696f42cb8e948ff1c",
+    "ema_lsun_bedroom": "1921fa46b66a3665e450e42f36c2720f",
+    "lsun_cat": "bbee0e7c3d7abfb6e2539eaf2fb9987b",
+    "ema_lsun_cat": "646f23f4821f2459b8bafc57fd824558",
+    "lsun_church": "eb619b8a5ab95ef80f94ce8a5488dae3",
+    "ema_lsun_church": "fdc68a23938c2397caba4a260bc2445f",
+}
+
+
+def md5_hash(path: str, chunk: int = 1 << 20) -> str:
+    import hashlib
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        while True:
+            b = f.read(chunk)
+            if not b:
+                break
+            h.update(b)
+    return h.hexdigest()
+
+
+def get_ckpt_path(name: str, root: str, check: bool = True) -> str:
+    """Resolve + MD5-validate a pretrained DDPM checkpoint under ``root``.
+
+    Offline analogue of the reference's ``get_ckpt_path``
+    (ckpt_util.py:38-72): same name registry and digests, but instead of
+    downloading it validates a locally provided file and raises with the
+    source URL when the file is absent or corrupt.
+    """
+    if "church_outdoor" in name:
+        name = name.replace("church_outdoor", "church")
+    if name not in DDPM_CKPT_NAMES:
+        raise KeyError(f"unknown checkpoint '{name}'; "
+                       f"known: {sorted(DDPM_CKPT_NAMES)}")
+    path = os.path.join(root, DDPM_CKPT_NAMES[name])
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"checkpoint '{name}' not found at {path}; this environment has "
+            "no network egress — place the file there manually "
+            "(Heidelberg heibox mirror, see reference ckpt_util.py URL_MAP)")
+    if check:
+        got = md5_hash(path)
+        if got != DDPM_CKPT_MD5[name]:
+            raise ValueError(f"md5 mismatch for {path}: got {got}, "
+                             f"expected {DDPM_CKPT_MD5[name]}")
+    return path
 
 
 def _convert_leaf(key: str, value: np.ndarray) -> tuple[str, np.ndarray]:

@@ -650,3 +650,55 @@ def ldm_recon_plan(cfg: LDMUNetConfig, qc: QuantConfig):
         QConv(cfg.out_channels, (3, 3), wq=wq.with_bits(8), aq=aq,
               disable_act_quant=True), "layer"))
     return plan
+
+
+def ldm_layer_plan(cfg: LDMUNetConfig, qc: QuantConfig):
+    """Layer-mode reconstruction plan for the LDM/SD UNet — the reference's
+    ablation path applied to a wrapped UNetModel
+    (qdiff/recon_layer_Qmodel.py:13-120): every QuantModule reconstructs
+    individually; attention blocks decompose into their qkv projection, a
+    whole-block act-delta-only reconstruction
+    (qdiff/attn_layer_recon.py:13-133) and proj_out.  SpatialTransformer
+    blocks keep their block targets (the reference's layer walker predates
+    the conditional fork and has no transformer decomposition)."""
+    from ..calib.recon import ReconTarget
+
+    wq, aq = qc.wq, qc.aq
+    layout = build_layout(cfg, qc.split)
+    widths = {}                      # block path prefix → channel width
+    for prefix, items in (("input_blocks", layout.input_blocks),
+                          ("middle_block", layout.middle_block),
+                          ("output_blocks", layout.output_blocks)):
+        for it in items:
+            widths[(f"{prefix}_{it.key}",)] = it
+    plan = []
+    for t in ldm_recon_plan(cfg, qc):
+        if t.kind == "layer" or isinstance(t.module, BasicTransformerBlockL):
+            plan.append(t)
+        elif isinstance(t.module, AttentionBlockL):
+            ch = widths[t.path].out_ch
+            plan.append(ReconTarget(
+                f"{t.name}.qkv", t.path + ("qkv",),
+                QDense(3 * ch, wq=wq, aq=aq), "layer"))
+            plan.append(ReconTarget(f"{t.name}.acts", t.path, t.module,
+                                    "block", act_only=True,
+                                    inner_taps=t.inner_taps))
+            plan.append(ReconTarget(
+                f"{t.name}.proj_out", t.path + ("proj_out",),
+                QDense(ch, wq=wq, aq=aq), "layer"))
+        else:                                    # ResBlockL → per-layer
+            m = t.module
+            emb_dim = (2 * m.out_ch if cfg.use_scale_shift_norm
+                       else m.out_ch)
+            for tap in t.inner_taps:
+                leaf = tap[0]
+                if leaf == "emb_layers_1":
+                    mod = QDense(emb_dim, wq=wq, aq=aq)
+                elif leaf == "skip_connection":
+                    mod = QConv(m.out_ch, (1, 1), padding="VALID", wq=wq,
+                                aq=aq, split=m.split)
+                else:
+                    mod = QConv(m.out_ch, (3, 3), wq=wq, aq=aq)
+                plan.append(ReconTarget(f"{t.name}.{leaf}", t.path + (leaf,),
+                                        mod, "layer"))
+    return plan

@@ -140,6 +140,78 @@ def quantized_matmul(x: jnp.ndarray, w_q: jnp.ndarray, s_x: jnp.ndarray,
     return out.astype(out_dtype)
 
 
+def fakequant_matmul(x: jnp.ndarray, w: jnp.ndarray, delta_k: jnp.ndarray,
+                     zp_k: jnp.ndarray, n_levels: int = 256,
+                     bias: Optional[jnp.ndarray] = None,
+                     block_m: int = 1024, block_n: int = 256,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Serving matmul with the activation fake-quant fused into the tile
+    load: ``out = fq(x) @ w (+ bias)``.
+
+    Why: on the deployment path the act quantizer's quantize→dequantize is a
+    separate VPU pass whenever its input is already materialized (attention
+    q/k/v/proj inputs, shortcut-concat inputs) — an extra HBM round trip of
+    the full activation per quant point, measured at ~20% of the serving
+    step.  Fusing it into the matmul's x-tile load removes that round trip;
+    quantization happens in VMEM registers right before the MXU.
+
+    x: (M, K) carrier dtype (bf16/f32); w: (K, N) folded weights.
+    delta_k/zp_k: (K,) f32 per-input-channel scale/zero-point rows — a
+    per-tensor quantizer broadcasts its scalar, a split dual quantizer
+    (quant_layer.py:406-437) contributes its two scalars over the channel
+    ranges.  Boundary math is f32, exactly like quant/affine.py::fake_quant:
+    q = clip(round(x/Δ), -zp, n-1-zp); operand = (q·Δ) cast to w.dtype.
+    """
+    M, K = x.shape
+    K2, N = w.shape
+    assert K == K2 and delta_k.shape == (K,) and zp_k.shape == (K,)
+    out_dtype = x.dtype
+    if bias is None:
+        bias = jnp.zeros((N,), jnp.float32)
+
+    bm = min(block_m, _round_up(M, 8))
+    bn = min(block_n, N)
+    hi = float(n_levels - 1)
+
+    def kernel(d_ref, z_ref, x_ref, w_ref, b_ref, o_ref):
+        d = d_ref[:]                                    # (1, K) f32
+        z = z_ref[:]
+        xf = x_ref[:].astype(jnp.float32)
+        q = jnp.clip(jnp.round(xf / d), -z, hi - z) * d
+        acc = jax.lax.dot_general(
+            q.astype(w_ref.dtype), w_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[:] = (acc + b_ref[:]).astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(M, bm), pl.cdiv(N, bn)),
+        in_specs=[
+            pl.BlockSpec((1, K), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, K), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=(M * K + M * N) * x.dtype.itemsize
+            + K * N * w.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(delta_k.astype(jnp.float32).reshape(1, K),
+      zp_k.astype(jnp.float32).reshape(1, K), x, w,
+      bias.astype(jnp.float32).reshape(1, N))
+
+
 def pack_dense_weights(kernel: jnp.ndarray, delta: jnp.ndarray,
                        zp: jnp.ndarray, n_levels: int = 256):
     """Prepare a QDense kernel (K, N) for the serving matmul."""

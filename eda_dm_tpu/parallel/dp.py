@@ -54,38 +54,3 @@ def dp_sample(sample_fn, variables, x_T, key, mesh: Mesh):
     variables = replicate(mesh, variables)
     x_T = shard_batch(mesh, x_T)
     return jax.jit(sample_fn)(variables, x_T, key)
-
-
-def dp_recon_step(target_module, block_params, block_quant_train,
-                  block_quant_frozen, batch, mesh: Mesh, args, key):
-    """One data-parallel FBR reconstruction step (gradients psum over dp).
-
-    Used by the multi-chip dry run; the production path in calib.recon runs
-    the same math via its scan with sharded cached activations.
-    """
-    from ..calib.recon import ReconArgs  # noqa: F401 (doc reference)
-    from ..utils.tree import deep_merge
-    from ..quant.affine import lp_loss
-
-    mode = QuantMode(w_quant=True, a_quant=args.act_quant,
-                     soft_targets=True, training=True)
-
-    block_params = replicate(mesh, block_params)
-    block_quant_train = replicate(mesh, block_quant_train)
-    block_quant_frozen = replicate(mesh, block_quant_frozen)
-    batch = shard_batch(mesh, batch)
-
-    def loss_fn(train, batch, rng):
-        x, temb, out_fp = batch
-        quant = deep_merge(block_quant_frozen, train)
-        vs = {"params": block_params, "quant": quant}
-        if temb is not None:
-            out = target_module.apply(vs, x, temb, mode,
-                                      rngs={"qdrop": rng})
-        else:
-            out = target_module.apply(vs, x, mode, rngs={"qdrop": rng})
-        return lp_loss(out, out_fp, args.p, channel_axis=-1)
-
-    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(
-        block_quant_train, batch, key)
-    return loss, grads

@@ -59,6 +59,8 @@ class QuantMode:
     soft_targets: bool = False   # AdaRound soft rounding (block under reconstruction)
     training: bool = False       # QDrop stochastic bypass active (needs 'qdrop' rng)
     capture: bool = False        # sow block/layer taps into the 'taps' collection
+    fused: bool = False          # serving: Pallas fused quantize+matmul on
+                                 # 1x1 convs / denses (ops/pallas_quant.py)
 
     def replace(self, **kw) -> "QuantMode":
         return dataclasses.replace(self, **kw)

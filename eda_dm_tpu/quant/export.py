@@ -21,6 +21,8 @@ from .config import QuantConfig, QuantMode
 
 # serving mode after folding: activations quantize, weights are pre-baked
 DEPLOY = QuantMode(a_quant=True)
+# + Pallas fused quantize+matmul on 1x1 convs / denses
+DEPLOY_FUSED = QuantMode(a_quant=True, fused=True)
 
 
 def fold_quantized_weights(variables: Dict[str, Any],

@@ -1,6 +1,7 @@
 """Deployment export: folded weights + act-only mode ≡ full fake-quant."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -65,3 +66,32 @@ def test_bf16_serving_quality():
     quant_err = float(jnp.mean(jnp.abs(fq - fp)))
     carrier_err = float(jnp.mean(jnp.abs(out.astype(jnp.float32) - fq)))
     assert carrier_err < 0.5 * quant_err, (carrier_err, quant_err)
+
+
+@pytest.mark.slow
+def test_fused_kernel_deploy_matches_unfused():
+    """DEPLOY_FUSED (Pallas quantize+matmul on 1x1 convs/denses, interpret
+    mode on CPU) must reproduce the plain DEPLOY numerics."""
+    from eda_dm_tpu.quant.export import export_serving, DEPLOY_FUSED
+
+    arch = DDPMConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                      attn_resolutions=(8,), resolution=16)
+    qc = QuantConfig(weight_bit=4, act_bit=8)
+    model = DDPMUNet(cfg=arch, qc=qc)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (4, 16, 16, 3))
+    t = jnp.full((4,), 20.0)
+    variables = model.init(key, x, t, FP)
+    _, upd = model.apply(variables, x, t, CALIB_W, mutable=["quant"])
+    variables = {**variables, "quant": upd["quant"]}
+    _, upd = model.apply(variables, x, t, CALIB_A, mutable=["quant"])
+    variables = {**variables, "quant": upd["quant"]}
+
+    serving = export_serving(variables, qc)
+    x16 = x.astype(jnp.bfloat16)
+    ref = model.apply(serving, x16, t, DEPLOY)
+    out = model.apply(serving, x16, t, DEPLOY_FUSED)
+    # same quantization decisions; only MXU accumulation order may differ
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=2e-2)

@@ -3,6 +3,8 @@ and CFG-conditional (imagenet-like) paths, including VAE decode."""
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 

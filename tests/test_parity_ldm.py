@@ -4,6 +4,8 @@ flavour (cin256/SD style)."""
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 

@@ -8,6 +8,8 @@ forward on identical random tensors.  Skipped when /root/reference is absent.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax.numpy as jnp
 
 from eda_dm_tpu.quant import (

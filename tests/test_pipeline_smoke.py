@@ -4,6 +4,8 @@ BASELINE config 1 (the reference CIFAR flow, sample_diffusion_ddim.py:226-328)."
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 

@@ -3,6 +3,9 @@
 W8A8 recipe path."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 
 from eda_dm_tpu.models.ddpm_unet import DDPMConfig
