@@ -31,7 +31,7 @@ differs).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+from functools import lru_cache, partial
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -116,10 +116,12 @@ def _capture_batch(model, variables, batch, path: Tuple[str, ...],
     return kept, temb
 
 
-def capture_target(model, variables, cali_data: Sequence, target: ReconTarget,
+def capture_target(model, variables, cali_data: Sequence,
+                   path: Tuple[str, ...],
                    mode: QuantMode, keep: Tuple[Tuple[str, ...], ...],
                    batch_size: Optional[int] = None):
-    """Capture selected taps over the calibration set, batched.
+    """Capture selected taps (paths relative to ``path``) over the
+    calibration set, batched.
 
     Returns (dict keyed by keep-path, temb).
     """
@@ -128,7 +130,7 @@ def capture_target(model, variables, cali_data: Sequence, target: ReconTarget,
     subs, tembs = [], []
     for i in range(max(1, n // bs)):
         batch = tuple(a[i * bs:(i + 1) * bs] for a in cali_data)
-        kept, temb = _capture_batch(model, variables, batch, target.path,
+        kept, temb = _capture_batch(model, variables, batch, path,
                                     keep, mode)
         subs.append(kept)
         tembs.append(temb)
@@ -185,11 +187,10 @@ def _linear_temp_decay(t, iters: int, warmup: float, b_range):
     return jnp.where(t < start, float(b_range[0]), b)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
-def _recon_scan(module, has_temb: bool, has_ctx: bool,
+def _recon_impl(module, has_temb: bool, has_ctx: bool,
                 inner_taps: Tuple[Tuple[str, ...], ...], use_inner: bool,
                 args: ReconArgs, block_params, frozen, train, data, key):
-    """The per-target optimization scan.
+    """The per-target optimization scan (pure; jitted/vmapped by wrappers).
 
     Static args exclude the target's name/path, and flax modules hash by
     field values — so equal block configs with equal data shapes share one
@@ -269,14 +270,27 @@ def _recon_scan(module, has_temb: bool, has_ctx: bool,
     return train, losses
 
 
-def reconstruct_target(target: ReconTarget, variables: Dict[str, Any],
-                       data: Dict[str, Any], args: ReconArgs,
-                       key: jax.Array) -> Dict[str, Any]:
-    """Optimize one target's rounding masks + act scales; return new variables.
+_recon_scan = partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))(_recon_impl)
 
-    ``data`` fields: inp_q, inp_s (captured quant/FP block inputs), out_fp
-    (FP block output), optional temb_q/temb_s, inner_fp (tuple of FP inner
-    layer outputs, ordered as target.inner_taps).
+
+@lru_cache(maxsize=None)
+def _grouped_scan_fn(module, has_temb: bool, has_ctx: bool,
+                     inner_taps: Tuple[Tuple[str, ...], ...], use_inner: bool,
+                     args: ReconArgs):
+    """jit(vmap(...)) of the recon scan over a stacked group of same-shape
+    targets.  Cached on the static signature so repeated group shapes share
+    one compiled program."""
+    impl = partial(_recon_impl, module, has_temb, has_ctx, inner_taps,
+                   use_inner, args)
+    return jax.jit(jax.vmap(impl))
+
+
+def _prepare_target(target: ReconTarget, variables: Dict[str, Any],
+                    data: Dict[str, Any], args: ReconArgs):
+    """Split the target's quant subtree and pack its captured data.
+
+    Returns (block_params, block_quant, train, frozen, packed, use_inner,
+    args) — everything ``_recon_impl`` needs besides the rng key.
     """
     block_params = get_subtree(variables["params"], target.path)
     block_quant = get_subtree(variables["quant"], target.path)
@@ -290,14 +304,28 @@ def reconstruct_target(target: ReconTarget, variables: Dict[str, Any],
     else:
         train, frozen = split_trainable(block_quant, args.recon_w,
                                         args.recon_a)
-    if not jax.tree.leaves(train):
-        return variables, jnp.zeros((args.iters,))
-
     inner_fp = data.get("inner_fp", ())
     use_inner = target.kind == "block" and len(inner_fp) > 1 and \
         args.add_loss > 0.0
     packed = (data["inp_q"], data["inp_s"], data.get("temb_q"),
               data.get("ctx_q"), data["out_fp"], tuple(inner_fp))
+    return block_params, block_quant, train, frozen, packed, use_inner, args
+
+
+def reconstruct_target(target: ReconTarget, variables: Dict[str, Any],
+                       data: Dict[str, Any], args: ReconArgs,
+                       key: jax.Array) -> Dict[str, Any]:
+    """Optimize one target's rounding masks + act scales; return new variables.
+
+    ``data`` fields: inp_q, inp_s (captured quant/FP block inputs), out_fp
+    (FP block output), optional temb_q/temb_s, inner_fp (tuple of FP inner
+    layer outputs, ordered as target.inner_taps).
+    """
+    (block_params, block_quant, train, frozen, packed, use_inner,
+     args) = _prepare_target(target, variables, data, args)
+    if not jax.tree.leaves(train):
+        return variables, jnp.zeros((args.iters,))
+
     train, losses = _recon_scan(target.module, target.has_temb,
                                 target.has_ctx, target.inner_taps, use_inner,
                                 args, block_params, frozen, train, packed,
@@ -308,14 +336,57 @@ def reconstruct_target(target: ReconTarget, variables: Dict[str, Any],
     return {**variables, "quant": new_quant}, losses
 
 
+def reconstruct_group(targets: Sequence[ReconTarget],
+                      variables: Dict[str, Any],
+                      datas: Sequence[Dict[str, Any]], args: ReconArgs,
+                      key: jax.Array):
+    """Optimize several same-signature targets in one vmapped scan.
+
+    All members share the static signature (module config, temb/ctx layout,
+    inner taps) and leaf shapes; their params, quant state and captured data
+    are stacked on a new leading axis and the per-target scan runs under
+    ``vmap`` — on TPU the recon step at batch 32 is latency-bound, so G
+    targets cost roughly the wall-clock of one.
+
+    Semantics vs sequential order (documented deviation): each member's
+    asymmetric input capture was taken *before* any member of the group was
+    reconstructed, so later members don't see earlier members' new rounding
+    masks in their inputs.  The reference updates that state target-by-target
+    (qdiff/recon_block_Qmodel.py:26-58); with the small groups this is used
+    with (same-shape neighbours), the input drift is one block's rounding
+    change.  ``group_size=1`` restores exact sequential semantics.
+    """
+    prepared = [_prepare_target(t, variables, d, args)
+                for t, d in zip(targets, datas)]
+    args = prepared[0][6]
+    if not jax.tree.leaves(prepared[0][2]):
+        return variables, [jnp.zeros((args.iters,))] * len(targets)
+
+    stack = lambda i: jax.tree.map(lambda *xs: jnp.stack(xs),
+                                   *[p[i] for p in prepared])
+    params_s, train_s, frozen_s = stack(0), stack(2), stack(3)
+    packed_s = stack(4)
+    keys = jax.random.split(key, len(targets))
+    t0 = targets[0]
+    fn = _grouped_scan_fn(t0.module, t0.has_temb, t0.has_ctx, t0.inner_taps,
+                          prepared[0][5], args)
+    train_s, losses = fn(params_s, frozen_s, train_s, packed_s, keys)
+
+    for g, (target, prep) in enumerate(zip(targets, prepared)):
+        train_g = jax.tree.map(lambda x: x[g], train_s)
+        new_quant_sub = deep_merge(prep[1], train_g)
+        variables = {**variables,
+                     "quant": set_subtree(variables["quant"], target.path,
+                                          new_quant_sub)}
+    return variables, [losses[g] for g in range(len(targets))]
+
+
 # --------------------------------------------------------------------------
 # orchestration (recon_block_Qmodel equivalent)
 # --------------------------------------------------------------------------
 
-def build_target_data(model, variables, cali_data, target: ReconTarget,
-                      args: ReconArgs) -> Dict[str, Any]:
-    """FP + quantized captures for one target (save_inp_oup_data equivalent,
-    data_utils.py:7-75)."""
+def _keep_paths(target: ReconTarget):
+    """(in_key, out_key, fp_keep, q_keep) tap paths relative to the target."""
     if target.kind == "block":
         in_key, out_key = ("block_in",), ("block_out",)
     else:
@@ -327,54 +398,135 @@ def build_target_data(model, variables, cali_data, target: ReconTarget,
     if target.has_ctx:
         fp_keep.append(("block_ctx",))
         q_keep.append(("block_ctx",))
+    return in_key, out_key, fp_keep, q_keep
 
-    fp_sub, fp_temb = capture_target(model, variables, cali_data, target,
-                                     FP_CAPTURE, tuple(fp_keep),
+
+def build_group_data(model, variables, cali_data,
+                     targets: Sequence[ReconTarget],
+                     args: ReconArgs) -> List[Dict[str, Any]]:
+    """FP + quantized captures for a group of targets in two model forwards
+    (save_inp_oup_data equivalent, data_utils.py:7-75).
+
+    All targets' tap leaves are selected inside the same capture jit, so a
+    group costs the same two compiled programs a single target does (the
+    round-1 profile showed per-target capture compiles dominating recon
+    wall-clock).  Memory scales with the group's summed tap sizes.
+    """
+    metas = [_keep_paths(t) for t in targets]
+    fp_abs, q_abs = [], []
+    for t, (in_key, out_key, fp_keep, q_keep) in zip(targets, metas):
+        fp_abs += [t.path + kp for kp in fp_keep]
+        q_abs += [t.path + kp for kp in q_keep]
+
+    fp_sub, fp_temb = capture_target(model, variables, cali_data, (),
+                                     FP_CAPTURE, tuple(fp_abs),
                                      args.capture_batch_size)
     q_sub, q_temb = capture_target(
-        model, variables, cali_data, target,
+        model, variables, cali_data, (),
         quant_capture_mode(args.act_quant) if args.asym else FP_CAPTURE,
-        tuple(q_keep), args.capture_batch_size)
+        tuple(q_abs), args.capture_batch_size)
 
-    data = {
-        "inp_s": fp_sub[in_key],
-        "inp_q": q_sub[in_key],
-        "out_fp": fp_sub[out_key],
-    }
-    if target.has_temb:
-        data["temb_s"] = fp_temb
-        data["temb_q"] = q_temb
-    if target.has_ctx:
-        data["ctx_q"] = q_sub.get(("block_ctx",))
-        data["ctx_s"] = fp_sub.get(("block_ctx",))
-    if target.kind == "block":
-        data["inner_fp"] = tuple(
-            fp_sub[tp + ("out",)] for tp in target.inner_taps)
-    return data
+    datas = []
+    for t, (in_key, out_key, fp_keep, q_keep) in zip(targets, metas):
+        data = {
+            "inp_s": fp_sub[t.path + in_key],
+            "inp_q": q_sub[t.path + in_key],
+            "out_fp": fp_sub[t.path + out_key],
+        }
+        if t.has_temb:
+            data["temb_s"] = fp_temb
+            data["temb_q"] = q_temb
+        if t.has_ctx:
+            data["ctx_q"] = q_sub.get(t.path + ("block_ctx",))
+            data["ctx_s"] = fp_sub.get(t.path + ("block_ctx",))
+        if t.kind == "block":
+            data["inner_fp"] = tuple(
+                fp_sub[t.path + tp + ("out",)] for tp in t.inner_taps)
+        datas.append(data)
+    return datas
+
+
+def build_target_data(model, variables, cali_data, target: ReconTarget,
+                      args: ReconArgs) -> Dict[str, Any]:
+    """Single-target capture (group of one)."""
+    return build_group_data(model, variables, cali_data, [target], args)[0]
+
+
+def _signature(t: ReconTarget):
+    """Static part of a target's compile signature (shapes checked later)."""
+    return (t.module, t.kind, t.has_temb, t.has_ctx, t.inner_taps, t.act_only)
+
+
+def group_plan(plan: Sequence[ReconTarget],
+               group_size: int) -> List[List[ReconTarget]]:
+    """Split the plan into runs of consecutive same-signature targets,
+    capped at ``group_size``.  Only *adjacent* targets group, preserving the
+    reference's reconstruction order across groups."""
+    groups: List[List[ReconTarget]] = [[plan[0]]]
+    for t in plan[1:]:
+        cur = groups[-1]
+        if len(cur) < group_size and _signature(t) == _signature(cur[0]):
+            cur.append(t)
+        else:
+            groups.append([t])
+    return groups
+
+
+def _shape_sig(variables, target: ReconTarget, data: Dict[str, Any]):
+    """Hashable (treedef, leaf shapes/dtypes) of everything the scan stacks."""
+    tree = (get_subtree(variables["params"], target.path),
+            get_subtree(variables["quant"], target.path), data)
+    leaves, treedef = jax.tree.flatten(tree)
+    return treedef, tuple((l.shape, str(l.dtype)) for l in leaves)
 
 
 def reconstruct(model, variables: Dict[str, Any], cali_data: Sequence,
                 plan: Sequence[ReconTarget], args: ReconArgs,
                 key: jax.Array,
-                progress: Optional[Callable[[str, float], None]] = None):
+                progress: Optional[Callable[[str, float], None]] = None,
+                group_size: int = 1):
     """Sequential block/layer reconstruction over the plan
     (recon_block_Qmodel.recon, qdiff/recon_block_Qmodel.py:18-94).
 
     Order matters: each target's quantized-input capture sees the quantizer
-    state produced by all previous targets.
+    state produced by all previous targets.  ``group_size > 1`` batches runs
+    of adjacent same-shape targets into one vmapped scan + shared captures
+    (see :func:`reconstruct_group` for the exact semantics deviation);
+    ``group_size=1`` is the reference-exact sequential path.
     """
-    data = None
-    for i, target in enumerate(plan):
-        # release the previous target's activation caches before capturing
+    groups = (group_plan(plan, group_size) if group_size > 1
+              else [[t] for t in plan])
+    datas = None
+    for grp in groups:
+        # release the previous group's activation caches before capturing
         # the next (high-res up-level caches are multi-GB at batch 1024)
-        if data is not None:
+        if datas is not None:
             jax.tree.map(lambda x: x.delete() if hasattr(x, "delete") else None,
-                         data)
-            data = None
-        data = build_target_data(model, variables, cali_data, target, args)
-        key, sub = jax.random.split(key)
-        variables, losses = reconstruct_target(target, variables, data, args,
-                                               sub)
-        if progress is not None:
-            progress(target.name, float(losses[-1]))
+                         datas)
+            datas = None
+        datas = build_group_data(model, variables, cali_data, grp, args)
+
+        # same signature can still stack differently (e.g. inferred input
+        # widths) — split into runs of identical leaf shapes
+        runs: List[Tuple[Any, List[int]]] = []
+        for i, (t, d) in enumerate(zip(grp, datas)):
+            sig = _shape_sig(variables, t, d)
+            if runs and runs[-1][0] == sig:
+                runs[-1][1].append(i)
+            else:
+                runs.append((sig, [i]))
+
+        for _, idxs in runs:
+            key, sub = jax.random.split(key)
+            members = [grp[i] for i in idxs]
+            if len(members) == 1:
+                variables, losses = reconstruct_target(
+                    members[0], variables, datas[idxs[0]], args, sub)
+                losses_list = [losses]
+            else:
+                variables, losses_list = reconstruct_group(
+                    members, variables, [datas[i] for i in idxs], args, sub)
+            if progress is not None:
+                for t, l in zip(members, losses_list):
+                    progress(t.name, float(l[-1]))
     return variables

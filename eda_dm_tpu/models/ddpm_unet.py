@@ -136,17 +136,19 @@ class AttnBlockD(nn.Module):
         k = k.reshape(n, hh * ww, c)
         v = v.reshape(n, hh * ww, c)
 
-        if mode.a_quant or mode.calib_a:
-            q = ActQuantizer(self.aq, name="act_quantizer_q")(q, mode)
-            k = ActQuantizer(self.aq, name="act_quantizer_k")(k, mode)
+        # invoked unconditionally (no-op outside quant/calib modes) so every
+        # QuantMode shares one variable treedef — a conditional here made the
+        # first calib forward *create* these leaves, forcing a second full
+        # compile of the calibration graph on batch 1
+        q = ActQuantizer(self.aq, name="act_quantizer_q")(q, mode)
+        k = ActQuantizer(self.aq, name="act_quantizer_k")(k, mode)
         w = jnp.einsum("nic,njc->nij", q, k,
                        preferred_element_type=jnp.float32) * (c ** -0.5)
         # softmax in f32 for stability; the (n, hw, hw) probability tensor is
         # materialized in the carrier dtype (half traffic on the bf16 path)
         w = jax.nn.softmax(w, axis=-1).astype(x.dtype)
-        if mode.a_quant or mode.calib_a:
-            v = ActQuantizer(self.aq, name="act_quantizer_v")(v, mode)
-            w = ActQuantizer(self.aq_w, name="act_quantizer_w")(w, mode)
+        v = ActQuantizer(self.aq, name="act_quantizer_v")(v, mode)
+        w = ActQuantizer(self.aq_w, name="act_quantizer_w")(w, mode)
         h = jnp.einsum("nij,njc->nic", w, v,
                        preferred_element_type=jnp.float32)
         # keep MXU accumulation in f32 but return to the carrier dtype so a

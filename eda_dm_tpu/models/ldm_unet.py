@@ -268,17 +268,17 @@ class AttentionBlockL(nn.Module):
         scale = 1.0 / jnp.sqrt(jnp.sqrt(float(ch)))
         q = q * scale
         k = k * scale
-        if mode.a_quant or mode.calib_a:
-            q = ActQuantizer(self.aq, name="act_quantizer_q")(q, mode)
-            k = ActQuantizer(self.aq, name="act_quantizer_k")(k, mode)
+        # unconditional (no-op outside quant/calib modes): keeps one
+        # variable treedef across QuantModes (see ddpm_unet.AttnBlockD note)
+        q = ActQuantizer(self.aq, name="act_quantizer_q")(q, mode)
+        k = ActQuantizer(self.aq, name="act_quantizer_k")(k, mode)
         w = jnp.einsum("bthc,bshc->bhts", q, k,
                        preferred_element_type=jnp.float32)
         # f32 MXU accumulation + f32 softmax; materialize attention tensors
         # in the carrier dtype (bf16 on the deployment path)
         w = jax.nn.softmax(w, axis=-1).astype(x.dtype)
-        if mode.a_quant or mode.calib_a:
-            w = ActQuantizer(self.aq_w, name="act_quantizer_w")(w, mode)
-            v = ActQuantizer(self.aq, name="act_quantizer_v")(v, mode)
+        w = ActQuantizer(self.aq_w, name="act_quantizer_w")(w, mode)
+        v = ActQuantizer(self.aq, name="act_quantizer_v")(v, mode)
         a = jnp.einsum("bhts,bshc->bthc", w, v,
                        preferred_element_type=jnp.float32)
         a = a.astype(x.dtype).reshape(b, t_len, c)
@@ -321,17 +321,16 @@ class CrossAttentionL(nn.Module):
         q = q.reshape(b, n, self.heads, self.dim_head)
         k = k.reshape(b, m, self.heads, self.dim_head)
         v = v.reshape(b, m, self.heads, self.dim_head)
-        if mode.a_quant or mode.calib_a:
-            q = ActQuantizer(self.aq, name="act_quantizer_q")(q, mode)
-            k = ActQuantizer(self.aq, name="act_quantizer_k")(k, mode)
+        # unconditional (no-op outside quant/calib modes): one treedef
+        q = ActQuantizer(self.aq, name="act_quantizer_q")(q, mode)
+        k = ActQuantizer(self.aq, name="act_quantizer_k")(k, mode)
         sim = jnp.einsum("bihd,bjhd->bhij", q, k,
                          preferred_element_type=jnp.float32) \
             * (self.dim_head ** -0.5)
         # f32 MXU accumulation + f32 softmax; carrier-dtype materialization
         attn = jax.nn.softmax(sim, axis=-1).astype(x.dtype)
-        if mode.a_quant or mode.calib_a:
-            attn = ActQuantizer(self.aq_w, name="act_quantizer_w")(attn, mode)
-            v = ActQuantizer(self.aq, name="act_quantizer_v")(v, mode)
+        attn = ActQuantizer(self.aq_w, name="act_quantizer_w")(attn, mode)
+        v = ActQuantizer(self.aq, name="act_quantizer_v")(v, mode)
         out = jnp.einsum("bhij,bjhd->bihd", attn, v,
                          preferred_element_type=jnp.float32)
         out = out.astype(x.dtype).reshape(b, n, inner)

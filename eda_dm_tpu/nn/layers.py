@@ -79,8 +79,15 @@ class ActQuantizer(nn.Module):
             xf = x.reshape(-1).astype(dtype)
             side = jnp.where(one_side.value == search.ONE_SIDE_UNSET,
                              search.detect_one_side(xf), one_side.value)
-            lo, hi = search.search_range(xf, spec.n_levels, side,
-                                         spec.symmetric, spec.num_candidates)
+            if spec.search_bins and xf.size > 4 * spec.search_bins:
+                # large tensors: exact-histogram scoring (quant/search.py)
+                lo, hi = search.search_range_hist(
+                    xf, spec.n_levels, side, spec.symmetric,
+                    spec.num_candidates, spec.search_bins)
+            else:
+                lo, hi = search.search_range(xf, spec.n_levels, side,
+                                             spec.symmetric,
+                                             spec.num_candidates)
             # EMA range update; first batch seeds the running range
             new_min = jnp.where(inited.value,
                                 affine.ema_update(running_min.value,

@@ -71,6 +71,10 @@ class CifarConfig:
     input_prob: float = 0.5
     recon_batch_size: int = 32
     capture_batch_size: Optional[int] = None
+    # batch adjacent same-shape targets into one vmapped scan (the recon
+    # step is latency-bound on TPU; see calib/recon.py::reconstruct_group
+    # for the documented capture-order deviation).  1 = reference-exact.
+    recon_group_size: int = 4
     # sampling for FID
     max_images: int = 50000
     sample_batch_size: int = 500
@@ -157,7 +161,8 @@ class CifarPipeline:
                          capture_batch_size=cfg.capture_batch_size)
         plan = ddpm_recon_plan(cfg.arch, self.qc)
         return reconstruct(self.model, variables, cali_data, plan, args, key,
-                           progress=progress)
+                           progress=progress,
+                           group_size=cfg.recon_group_size)
 
     # ------------------------------------------------------------------
     def sampler_fn(self, variables, mode: QuantMode = WAQ):

@@ -68,6 +68,9 @@ class LDMTaskConfig:
     input_prob: float = 0.5
     recon_batch_size: int = 32
     capture_batch_size: Optional[int] = None
+    # batch adjacent same-shape targets into one vmapped scan
+    # (calib/recon.py::reconstruct_group); 1 = reference-exact order
+    recon_group_size: int = 4
     recon: bool = True
     # sampling
     n_samples: int = 50000
@@ -288,7 +291,8 @@ class LDMPipeline:
                          capture_batch_size=cfg.capture_batch_size)
         plan = ldm_recon_plan(self.mc.unet, self.qc)
         unet_vars = reconstruct(self.ld.unet, variables["unet"], cali_data,
-                                plan, args, key, progress=progress)
+                                plan, args, key, progress=progress,
+                                group_size=cfg.recon_group_size)
         return {**variables, "unet": unet_vars}
 
     # ------------------------------------------------------------------

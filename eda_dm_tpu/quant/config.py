@@ -32,6 +32,14 @@ class QuantizerSpec:
     always_zero: bool = False    # force zero_point = 0 (softmax outputs)
     prob: float = 1.0            # QDrop bypass probability during reconstruction
     num_candidates: int = 100    # thresholds in the MSE grid search
+    # bins for the exact-histogram activation search (0 = always score on
+    # the raw tensor).  Large calib activations (> 4·bins elements) build an
+    # exact sort-based histogram and score the candidate grid binwise —
+    # counts (incl. the clipping tail) are exact, the only approximation is
+    # bin-center rounding (≤ range/(2·bins) ≈ delta/32 at 8 bits).  Kills
+    # the (2·num × N) scoring graph that dominated round-1 scale-init
+    # compile + runtime at production shapes (PERF.md: ~310 s).
+    search_bins: int = 4096
 
     @property
     def n_levels(self) -> int:

@@ -23,6 +23,23 @@ from typing import Any, Dict, Optional
 import numpy as np
 
 
+def enable_compilation_cache(path: str = "~/.cache/eda_dm_tpu_xla") -> None:
+    """Turn on JAX's persistent compilation cache.
+
+    The PTQ pipelines compile a handful of large one-shot graphs (trajectory
+    scan, calibration forward, per-shape recon scans); on TPU those compiles
+    dominate first-run wall-clock (PERF.md).  With the persistent cache every
+    later run — and every same-shape graph across tasks — loads the compiled
+    executable from disk instead.  Safe to call repeatedly.
+    """
+    import jax
+    path = os.path.expanduser(path)
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # cache every graph that takes noticeable compile time
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def seed_everything(seed: int) -> "jax.Array":
     """Seed python/numpy and return the root JAX PRNG key.
 

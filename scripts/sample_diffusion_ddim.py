@@ -53,7 +53,9 @@ def main():
     args = get_parser().parse_args()
     from eda_dm_tpu.pipelines.cifar import CifarPipeline, CifarConfig
     from eda_dm_tpu.utils.run import seed_everything, setup_run_dir, \
-        dump_config
+        dump_config, enable_compilation_cache
+
+    enable_compilation_cache()
 
     run_dir = setup_run_dir(args.logdir)
     log = logging.getLogger("cifar")

@@ -58,7 +58,9 @@ def main():
     import jax.numpy as jnp
     from eda_dm_tpu.pipelines.latent import LDMPipeline, task_config
     from eda_dm_tpu.utils.run import seed_everything, setup_run_dir, \
-        dump_config
+        dump_config, enable_compilation_cache
+
+    enable_compilation_cache()
 
     overrides = {k: v for k, v in vars(args).items()
                  if k in ("custom_steps", "eta", "scale", "n_samples",

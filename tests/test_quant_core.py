@@ -144,3 +144,55 @@ def test_ema_update():
     lo, hi = affine.ema_update(-1.0, 1.0, -3.0, 0.5)
     np.testing.assert_allclose(lo, 0.1 * -3.0 + 0.9 * -1.0)
     np.testing.assert_allclose(hi, 0.1 * 0.5 + 0.9 * 1.0)
+
+
+def _search_err(xf, lo, hi, n_levels):
+    from eda_dm_tpu.quant.affine import fake_quant, calculate_qparams
+    d, zp = calculate_qparams(lo, hi, n_levels)
+    q = fake_quant(xf, d, zp, n_levels)
+    return float(jnp.mean(jnp.abs(q - xf) ** 2.4))
+
+
+def test_hist_search_matches_exact_symmetric():
+    """The exact-histogram fast path picks a range whose quantization error
+    matches the exact full-tensor search (scale_init's large-activation
+    path); tail clipping mass is exact, only bin-center rounding remains."""
+    from eda_dm_tpu.quant.search import (search_range, search_range_hist,
+                                         detect_one_side)
+    rng = np.random.RandomState(0)
+    # mixed-scale channels like an NHWC activation (channels last, 64 ch)
+    x = (rng.randn(4096, 64) * (0.1 + 2.0 * rng.rand(64))).astype(np.float32)
+    xf = jnp.asarray(x.reshape(-1))
+    side = detect_one_side(xf)
+    n_levels = 256
+
+    lo_e, hi_e = search_range(xf, n_levels, side, symmetric=True)
+    lo_h, hi_h = search_range_hist(xf, n_levels, side, symmetric=True)
+    e_exact = _search_err(xf, lo_e, hi_e, n_levels)
+    e_hist = _search_err(xf, lo_h, hi_h, n_levels)
+    assert e_hist <= e_exact * 1.02
+
+
+def test_hist_search_matches_exact_one_sided_and_2d():
+    """One-sided (softmax-style) data and the asymmetric 2-D dispatch."""
+    from eda_dm_tpu.quant.search import (search_range, search_range_hist,
+                                         detect_one_side)
+    rng = np.random.RandomState(1)
+    n_levels = 256
+
+    # positive one-sided (e.g. softmax outputs with a spike at small values)
+    pos = jnp.asarray(rng.gamma(0.5, 1.0, 1 << 16).astype(np.float32))
+    side = detect_one_side(pos)
+    lo_e, hi_e = search_range(pos, n_levels, side, symmetric=True)
+    lo_h, hi_h = search_range_hist(pos, n_levels, side, symmetric=True)
+    assert float(lo_h) == 0.0
+    assert _search_err(pos, lo_h, hi_h, n_levels) <= \
+        _search_err(pos, lo_e, hi_e, n_levels) * 1.02
+
+    # skewed two-sided, asymmetric quantizer -> 2-D search branch
+    skew = jnp.asarray((rng.randn(1 << 16) * 0.5 + 1.5).astype(np.float32))
+    side = detect_one_side(skew)
+    lo_e, hi_e = search_range(skew, n_levels, side, symmetric=False)
+    lo_h, hi_h = search_range_hist(skew, n_levels, side, symmetric=False)
+    assert _search_err(skew, lo_h, hi_h, n_levels) <= \
+        _search_err(skew, lo_e, hi_e, n_levels) * 1.05
