@@ -86,6 +86,11 @@ class ReconArgs:
     b_range: Tuple[int, int] = (20, 2)
     warmup: float = 0.2
     capture_batch_size: Optional[int] = None
+    # dtype the activation caches are stored in ('bfloat16' halves the
+    # multi-GB captures of the 64x64-latent production tasks so a full
+    # calib-1024 recon plan fits one 16 GB chip; minibatches are upcast to
+    # f32 before the block forward/loss).  None = full f32 caches.
+    cache_dtype: Optional[str] = None
 
 
 # --------------------------------------------------------------------------
@@ -119,19 +124,24 @@ def _capture_batch(model, variables, batch, path: Tuple[str, ...],
 def capture_target(model, variables, cali_data: Sequence,
                    path: Tuple[str, ...],
                    mode: QuantMode, keep: Tuple[Tuple[str, ...], ...],
-                   batch_size: Optional[int] = None):
+                   batch_size: Optional[int] = None,
+                   cache_dtype: Optional[str] = None):
     """Capture selected taps (paths relative to ``path``) over the
-    calibration set, batched.
+    calibration set, batched; optionally stored at ``cache_dtype``.
 
     Returns (dict keyed by keep-path, temb).
     """
     n = cali_data[0].shape[0]
     bs = batch_size or n
+    cast = (lambda t: jax.tree.map(
+        lambda a: a.astype(cache_dtype) if a is not None else a, t)) \
+        if cache_dtype else (lambda t: t)
     subs, tembs = [], []
     for i in range(max(1, n // bs)):
         batch = tuple(a[i * bs:(i + 1) * bs] for a in cali_data)
         kept, temb = _capture_batch(model, variables, batch, path,
                                     keep, mode)
+        kept, temb = cast(kept), cast(temb)
         subs.append(kept)
         tembs.append(temb)
     kept = tuple(jnp.concatenate([s[j] for s in subs])
@@ -242,22 +252,27 @@ def _recon_impl(module, has_temb: bool, has_ctx: bool,
             loss = loss + args.weight * reg
         return loss
 
+    # minibatches are upcast to f32 when caches are stored at a reduced
+    # dtype (ReconArgs.cache_dtype) — free (no-op) on f32 caches
+    f32 = lambda a: a.astype(jnp.float32)
+
     def step(carry, it):
         train_leaves, opt_state, key = carry
         key, k_idx, k_mix, k_drop = jax.random.split(key, 4)
         idx = jax.random.choice(k_idx, n, (bs,), replace=False)
-        xq = jnp.take(inp_q, idx, axis=0)
-        xs = jnp.take(inp_s, idx, axis=0)
+        xq = f32(jnp.take(inp_q, idx, axis=0))
+        xs = f32(jnp.take(inp_s, idx, axis=0))
         if args.input_prob < 1.0:
             m = jax.random.uniform(k_mix, xq.shape) < args.input_prob
             x = jnp.where(m, xq, xs)
         else:
             x = xs                     # reference: cur_inp = cur_sym (:145)
-        temb = (jnp.take(temb_q, idx, axis=0) if temb_q is not None
+        temb = (f32(jnp.take(temb_q, idx, axis=0)) if temb_q is not None
                 else dummy)
-        ctx = (jnp.take(ctx_q, idx, axis=0) if ctx_q is not None else dummy)
-        out_fp = jnp.take(out_fp_all, idx, axis=0)
-        inners = tuple(jnp.take(a, idx, axis=0) for a in inner_fp)
+        ctx = (f32(jnp.take(ctx_q, idx, axis=0)) if ctx_q is not None
+               else dummy)
+        out_fp = f32(jnp.take(out_fp_all, idx, axis=0))
+        inners = tuple(f32(jnp.take(a, idx, axis=0)) for a in inner_fp)
         loss, grads = jax.value_and_grad(loss_fn)(
             train_leaves, (x, temb, ctx, out_fp, inners), k_drop,
             it.astype(jnp.float32))
@@ -420,11 +435,12 @@ def build_group_data(model, variables, cali_data,
 
     fp_sub, fp_temb = capture_target(model, variables, cali_data, (),
                                      FP_CAPTURE, tuple(fp_abs),
-                                     args.capture_batch_size)
+                                     args.capture_batch_size,
+                                     args.cache_dtype)
     q_sub, q_temb = capture_target(
         model, variables, cali_data, (),
         quant_capture_mode(args.act_quant) if args.asym else FP_CAPTURE,
-        tuple(q_abs), args.capture_batch_size)
+        tuple(q_abs), args.capture_batch_size, args.cache_dtype)
 
     datas = []
     for t, (in_key, out_key, fp_keep, q_keep) in zip(targets, metas):
@@ -457,18 +473,35 @@ def _signature(t: ReconTarget):
     return (t.module, t.kind, t.has_temb, t.has_ctx, t.inner_taps, t.act_only)
 
 
-def group_plan(plan: Sequence[ReconTarget],
-               group_size: int) -> List[List[ReconTarget]]:
-    """Split the plan into runs of consecutive same-signature targets,
-    capped at ``group_size``.  Only *adjacent* targets group, preserving the
-    reference's reconstruction order across groups."""
-    groups: List[List[ReconTarget]] = [[plan[0]]]
-    for t in plan[1:]:
-        cur = groups[-1]
-        if len(cur) < group_size and _signature(t) == _signature(cur[0]):
-            cur.append(t)
+def group_plan(plan: Sequence[ReconTarget], group_size: int,
+               window: int = 0) -> List[List[ReconTarget]]:
+    """Split the plan into groups of same-signature targets, capped at
+    ``group_size``.
+
+    ``window=0``: only *adjacent* targets group (runs), preserving the
+    reference's reconstruction order across groups.  ``window=k`` lets a
+    group absorb a same-signature target up to ``k`` differently-shaped
+    targets later — bridging the block/attn alternation of the attention
+    levels (pattern b,a,b,a,b,a → [b,b,b], [a,a,a] at window 1).  Groups
+    execute in first-member order, so relative order *between* groups is a
+    bounded local reordering of the reference walk.
+    """
+    groups: List[List[ReconTarget]] = []
+    open_groups: List[list] = []     # [sig, group, last_index]
+    for idx, t in enumerate(plan):
+        sig = _signature(t)
+        open_groups = [og for og in open_groups
+                       if idx - og[2] <= window + 1
+                       and len(og[1]) < group_size]
+        for og in open_groups:
+            if og[0] == sig:
+                og[1].append(t)
+                og[2] = idx
+                break
         else:
-            groups.append([t])
+            g = [t]
+            groups.append(g)
+            open_groups.append([sig, g, idx])
     return groups
 
 
@@ -484,7 +517,7 @@ def reconstruct(model, variables: Dict[str, Any], cali_data: Sequence,
                 plan: Sequence[ReconTarget], args: ReconArgs,
                 key: jax.Array,
                 progress: Optional[Callable[[str, float], None]] = None,
-                group_size: int = 1):
+                group_size: int = 1, group_window: int = 0):
     """Sequential block/layer reconstruction over the plan
     (recon_block_Qmodel.recon, qdiff/recon_block_Qmodel.py:18-94).
 
@@ -494,16 +527,11 @@ def reconstruct(model, variables: Dict[str, Any], cali_data: Sequence,
     (see :func:`reconstruct_group` for the exact semantics deviation);
     ``group_size=1`` is the reference-exact sequential path.
     """
-    groups = (group_plan(plan, group_size) if group_size > 1
+    groups = (group_plan(plan, group_size, group_window) if group_size > 1
               else [[t] for t in plan])
-    datas = None
+    release = lambda tree: jax.tree.map(
+        lambda x: x.delete() if hasattr(x, "delete") else None, tree)
     for grp in groups:
-        # release the previous group's activation caches before capturing
-        # the next (high-res up-level caches are multi-GB at batch 1024)
-        if datas is not None:
-            jax.tree.map(lambda x: x.delete() if hasattr(x, "delete") else None,
-                         datas)
-            datas = None
         datas = build_group_data(model, variables, cali_data, grp, args)
 
         # same signature can still stack differently (e.g. inferred input
@@ -526,6 +554,14 @@ def reconstruct(model, variables: Dict[str, Any], cali_data: Sequence,
             else:
                 variables, losses_list = reconstruct_group(
                     members, variables, [datas[i] for i in idxs], args, sub)
+            # release this run's activation caches before the next capture
+            # (high-res up-level caches are multi-GB at batch 1024); temb
+            # buffers are tiny and shared across the group's members, so
+            # they are left alive
+            for i in idxs:
+                release({k: v for k, v in datas[i].items()
+                         if not k.startswith("temb")})
+                datas[i] = None
             if progress is not None:
                 for t, l in zip(members, losses_list):
                     progress(t.name, float(l[-1]))

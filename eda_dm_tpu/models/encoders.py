@@ -74,6 +74,109 @@ class FrozenCLIPTextEncoder:
         return jnp.asarray(out.last_hidden_state)
 
 
+class BERTEmbedder(nn.Module):
+    """BERT-style text encoder over token ids → (B, T, n_embed) context.
+
+    Port of the reference's ``BERTEmbedder``
+    (/root/reference/ldm/modules/encoders/modules.py:80-103) and the subset
+    of its vendored x_transformers stack it actually instantiates
+    (ldm/modules/x_transformer.py): ``TransformerWrapper(num_tokens,
+    max_seq_len, attn_layers=Encoder(dim, depth))`` — learned token +
+    absolute position embeddings (x_transformer.py:25-36,548-570), pre-norm
+    ('a','f')-pattern layers with plain residuals (AttentionLayers,
+    x_transformer.py:370-539), default 8-head/64-dim attention with bias-free
+    q/k/v (Attention, x_transformer.py:215-345), GELU feed-forward at mult 4
+    (FeedForward, x_transformer.py:194-211), and a final LayerNorm with
+    ``return_embeddings=True`` (no logit head).
+
+    Tokenization (the reference's optional HF ``BERTTokenizer``) is the
+    caller's job — pass int32 token ids.  Used by upstream LDM text2img
+    configs; unused by the five benchmark tasks, included for completeness.
+    """
+
+    n_embed: int
+    n_layer: int
+    vocab_size: int = 30522
+    max_seq_len: int = 77
+    heads: int = 8
+    dim_head: int = 64
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        d = self.n_embed
+        h = nn.Embed(self.vocab_size, d, name="token_emb")(tokens)
+        pos = nn.Embed(self.max_seq_len, d, name="pos_emb")(
+            jnp.arange(tokens.shape[1]))
+        h = h + pos[None]
+        inner = self.heads * self.dim_head
+        scale = self.dim_head ** -0.5
+        for i in range(self.n_layer):
+            ja, jf = 2 * i, 2 * i + 1      # torch attn_layers.layers indices
+            # attention sublayer (pre-norm + residual)
+            a = nn.LayerNorm(epsilon=1e-5, name=f"norm_{ja}")(h)
+            q = nn.Dense(inner, use_bias=False, name=f"attn_{ja}_q")(a)
+            k = nn.Dense(inner, use_bias=False, name=f"attn_{ja}_k")(a)
+            v = nn.Dense(inner, use_bias=False, name=f"attn_{ja}_v")(a)
+            b, n, _ = q.shape
+            q = q.reshape(b, n, self.heads, self.dim_head)
+            k = k.reshape(b, n, self.heads, self.dim_head)
+            v = v.reshape(b, n, self.heads, self.dim_head)
+            dots = jnp.einsum("bihd,bjhd->bhij", q, k,
+                              preferred_element_type=jnp.float32) * scale
+            attn = jax.nn.softmax(dots, axis=-1)
+            o = jnp.einsum("bhij,bjhd->bihd", attn, v,
+                           preferred_element_type=jnp.float32)
+            o = o.reshape(b, n, inner)
+            h = h + nn.Dense(d, name=f"attn_{ja}_out")(o)
+            # feed-forward sublayer
+            f = nn.LayerNorm(epsilon=1e-5, name=f"norm_{jf}")(h)
+            f = nn.Dense(4 * d, name=f"ff_{jf}_1")(f)
+            f = nn.Dense(d, name=f"ff_{jf}_2")(jax.nn.gelu(f))
+            h = h + f
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(h)
+
+
+def bert_state_dict_to_params(state_dict) -> dict:
+    """Reference BERTEmbedder state_dict → flax params for
+    :class:`BERTEmbedder` (transformer.* keys, x_transformer.py layout)."""
+    def arr(v):
+        return np.asarray(getattr(v, "numpy", lambda: v)()
+                          if hasattr(v, "numpy") else v, dtype=np.float32)
+
+    p: dict = {}
+    pre = "transformer."
+    for key, v in state_dict.items():
+        if not key.startswith(pre):
+            continue
+        k = key[len(pre):]
+        v = arr(v)
+        if k == "token_emb.weight":
+            p["token_emb"] = {"embedding": v}
+        elif k == "pos_emb.emb.weight":
+            p["pos_emb"] = {"embedding": v}
+        elif k.startswith("norm."):
+            p.setdefault("norm", {})["scale" if k.endswith("weight")
+                                     else "bias"] = v
+        elif k.startswith("attn_layers.layers."):
+            parts = k.split(".")
+            j, slot, rest = int(parts[2]), parts[3], parts[4:]
+            leaf = "scale" if rest[-1] == "weight" else "bias"
+            if slot == "0":                       # pre-norm LayerNorm
+                p.setdefault(f"norm_{j}", {})[leaf] = v
+            elif rest[0] in ("to_q", "to_k", "to_v"):
+                name = f"attn_{j}_{rest[0][-1]}"
+                p.setdefault(name, {})["kernel"] = v.T
+            elif rest[0] == "to_out":
+                leaf = "kernel" if rest[-1] == "weight" else "bias"
+                p.setdefault(f"attn_{j}_out", {})[leaf] = \
+                    v.T if leaf == "kernel" else v
+            elif rest[0] == "net":                # FeedForward
+                leaf = "kernel" if rest[-1] == "weight" else "bias"
+                name = f"ff_{j}_1" if rest[1] == "0" else f"ff_{j}_2"
+                p.setdefault(name, {})[leaf] = v.T if leaf == "kernel" else v
+    return p
+
+
 class _TinyTextModule(nn.Module):
     """Small causal-free transformer producing (B, T, context_dim)."""
 

@@ -75,6 +75,11 @@ class CifarConfig:
     # step is latency-bound on TPU; see calib/recon.py::reconstruct_group
     # for the documented capture-order deviation).  1 = reference-exact.
     recon_group_size: int = 4
+    # let a group absorb same-shape targets separated by up to this many
+    # interleaved targets (bridges block/attn alternation); 0 = adjacent
+    recon_group_window: int = 0
+    # recon activation-cache dtype (None = f32; 'bfloat16' halves memory)
+    cache_dtype: str = None
     # sampling for FID
     max_images: int = 50000
     sample_batch_size: int = 500
@@ -158,11 +163,13 @@ class CifarPipeline:
         args = ReconArgs(iters=cfg.iters, batch_size=cfg.recon_batch_size,
                          lr_w=cfg.lr_w, lr_a=cfg.lr_a, add_loss=cfg.add_loss,
                          input_prob=cfg.input_prob,
-                         capture_batch_size=cfg.capture_batch_size)
+                         capture_batch_size=cfg.capture_batch_size,
+                         cache_dtype=cfg.cache_dtype)
         plan = ddpm_recon_plan(cfg.arch, self.qc)
         return reconstruct(self.model, variables, cali_data, plan, args, key,
                            progress=progress,
-                           group_size=cfg.recon_group_size)
+                           group_size=cfg.recon_group_size,
+                           group_window=cfg.recon_group_window)
 
     # ------------------------------------------------------------------
     def sampler_fn(self, variables, mode: QuantMode = WAQ):

@@ -71,6 +71,12 @@ class LDMTaskConfig:
     # batch adjacent same-shape targets into one vmapped scan
     # (calib/recon.py::reconstruct_group); 1 = reference-exact order
     recon_group_size: int = 4
+    # let a group absorb same-shape targets separated by up to this many
+    # interleaved targets (bridges block/attn alternation); 0 = adjacent
+    recon_group_window: int = 0
+    # store recon activation caches at this dtype ('bfloat16' halves the
+    # 64x64-latent captures so full calib-1024 plans fit one chip)
+    cache_dtype: str = None
     recon: bool = True
     # sampling
     n_samples: int = 50000
@@ -288,11 +294,13 @@ class LDMPipeline:
         args = ReconArgs(iters=cfg.iters, batch_size=cfg.recon_batch_size,
                          lr_w=cfg.lr_w, lr_a=cfg.lr_a, add_loss=cfg.add_loss,
                          input_prob=cfg.input_prob,
-                         capture_batch_size=cfg.capture_batch_size)
+                         capture_batch_size=cfg.capture_batch_size,
+                         cache_dtype=cfg.cache_dtype)
         plan = ldm_recon_plan(self.mc.unet, self.qc)
         unet_vars = reconstruct(self.ld.unet, variables["unet"], cali_data,
                                 plan, args, key, progress=progress,
-                                group_size=cfg.recon_group_size)
+                                group_size=cfg.recon_group_size,
+                                group_window=cfg.recon_group_window)
         return {**variables, "unet": unet_vars}
 
     # ------------------------------------------------------------------

@@ -3,7 +3,9 @@ from .config import (QuantizerSpec, QuantMode, QuantConfig,
 from .affine import (round_ste, lp_loss, calculate_qparams, fake_quant,
                      fake_quant_nograd, qdrop, ema_update)
 from .search import (detect_one_side, search_range, search_range_1d,
-                     search_range_2d, weight_qparams, channelwise_view,
+                     search_range_2d, search_range_hist,
+                     search_range_1d_hist, search_range_2d_hist,
+                     weight_qparams, channelwise_view,
                      ONE_SIDE_UNSET, ONE_SIDE_POS, ONE_SIDE_NEG, ONE_SIDE_NO)
 from .adaround import soft_targets, init_alpha, adaround_fake_quant, \
     round_regularization
@@ -14,6 +16,7 @@ __all__ = [
     "round_ste", "lp_loss", "calculate_qparams", "fake_quant",
     "fake_quant_nograd", "qdrop", "ema_update",
     "detect_one_side", "search_range", "search_range_1d", "search_range_2d",
+    "search_range_hist", "search_range_1d_hist", "search_range_2d_hist",
     "weight_qparams", "channelwise_view",
     "ONE_SIDE_UNSET", "ONE_SIDE_POS", "ONE_SIDE_NEG", "ONE_SIDE_NO",
     "soft_targets", "init_alpha", "adaround_fake_quant",

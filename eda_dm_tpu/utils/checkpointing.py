@@ -46,15 +46,18 @@ def load_meta(path: str) -> Optional[Dict[str, Any]]:
 
 
 def resumable_reconstruct(model, variables, cali_data, plan, args, key,
-                          checkpoint_dir: str, progress=None):
-    """`calib.recon.reconstruct` with per-target checkpointing.
+                          checkpoint_dir: str, progress=None,
+                          group_size: int = 1, group_window: int = 0):
+    """`calib.recon.reconstruct` with per-group checkpointing.
 
-    After each target the quant collection is saved along with the index of
-    the last completed target; on restart, completed targets are skipped and
-    the saved state restored (the capture-order dependence is preserved
-    because state after target k fully determines target k+1's captures).
+    After each target group the quant collection is saved along with the
+    index of the last completed target; on restart, completed targets are
+    skipped and the saved state restored (the capture-order dependence is
+    preserved because state after group k fully determines group k+1's
+    captures).  ``group_size`` batches adjacent same-shape targets exactly
+    like ``reconstruct`` (see calib.recon.reconstruct_group).
     """
-    from ..calib.recon import build_target_data, reconstruct_target
+    from ..calib.recon import reconstruct, group_plan
 
     ckpt = os.path.join(checkpoint_dir, "recon_state")
     start = 0
@@ -63,19 +66,21 @@ def resumable_reconstruct(model, variables, cali_data, plan, args, key,
         variables = load_quant_state(ckpt, variables)
         start = int(meta["completed"])
 
-    keys = jax.random.split(key, len(plan))
-    data = None
-    for i in range(start, len(plan)):
-        target = plan[i]
-        if data is not None:
-            jax.tree.map(lambda x: x.delete() if hasattr(x, "delete")
-                         else None, data)
-        data = build_target_data(model, variables, cali_data, target, args)
-        variables, losses = reconstruct_target(target, variables, data, args,
-                                               keys[i])
+    groups = (group_plan(plan, group_size, group_window) if group_size > 1
+              else [[t] for t in plan])
+    # pre-split so the key a group sees is independent of where a resume
+    # restarted (same stream as an uninterrupted run)
+    gkeys = jax.random.split(key, len(groups))
+    done = 0
+    for grp, sub in zip(groups, gkeys):
+        if done + len(grp) <= start:        # fully completed before resume
+            done += len(grp)
+            continue
+        variables = reconstruct(model, variables, cali_data, grp, args, sub,
+                                progress=progress, group_size=group_size,
+                                group_window=group_window)
+        done += len(grp)
         save_quant_state(ckpt, variables,
-                         meta={"completed": i + 1, "plan_len": len(plan),
-                               "last_target": target.name})
-        if progress is not None:
-            progress(target.name, float(losses[-1]))
+                         meta={"completed": done, "plan_len": len(plan),
+                               "last_target": grp[-1].name})
     return variables

@@ -1,0 +1,141 @@
+"""On-chip production-shape validation of the latent tasks.
+
+Runs one task end-to-end at its production architecture and shapes with
+random weights — TDAC trajectories, scale init, the FULL recon plan (at a
+reduced iteration count; memory behaviour is iteration-independent), and
+quantized sampling incl. the FP VAE decode at 256²/512² — reporting
+wall-clock per phase, sampling throughput, and peak HBM.
+
+    python scripts/perf_ldm.py --task bedroom [--calib 1024] [--iters 50]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def mem(tag):
+    try:
+        st = jax.local_devices()[0].memory_stats()
+        print(f"  [mem {tag}] in_use {st['bytes_in_use'] / 2**30:.2f} GiB, "
+              f"peak {st['peak_bytes_in_use'] / 2**30:.2f} GiB", flush=True)
+    except Exception:
+        pass
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--task", default="bedroom",
+                    choices=["bedroom", "church", "imagenet", "coco"])
+    ap.add_argument("--calib", type=int, default=1024)
+    ap.add_argument("--traj-batch", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--group", type=int, default=4)
+    ap.add_argument("--sample-batches", type=int, default=2)
+    ap.add_argument("--skip-recon", action="store_true")
+    args = ap.parse_args()
+
+    from eda_dm_tpu.pipelines.latent import LDMPipeline, task_config
+    from eda_dm_tpu.utils.run import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    overrides = dict(calib_num_samples=args.calib,
+                     batch_samples=args.traj_batch, iters=args.iters,
+                     recon_group_size=args.group)
+    if args.task in ("bedroom", "imagenet", "coco"):
+        overrides["cache_dtype"] = "bfloat16"    # 64x64-latent captures
+    if args.task == "coco":
+        overrides["calib_num_samples"] = min(args.calib, 256)
+    cfg = task_config(args.task, **overrides)
+    pipe = LDMPipeline(cfg)
+    print(f"task={args.task} unet_ch={pipe.mc.unet.model_channels} "
+          f"latent={pipe.mc.unet.image_size} steps={cfg.custom_steps} "
+          f"calib={cfg.calib_num_samples} sample_bs={cfg.batch_size}",
+          flush=True)
+
+    t0 = time.perf_counter()
+    variables = pipe.init_variables()
+    jax.block_until_ready(variables["unet"])
+    print(f"init: {time.perf_counter() - t0:.0f}s", flush=True)
+    mem("init")
+
+    context = uncond = None
+    if args.task == "imagenet":
+        n = cfg.calib_num_samples
+        labels = jnp.arange(n) % 1000
+        context = pipe.ld.get_learned_conditioning(
+            variables["cond_stage"], labels)
+        uncond = pipe.ld.get_learned_conditioning(
+            variables["cond_stage"], jnp.full((n,), 1000))
+    elif args.task == "coco":
+        from eda_dm_tpu.models.encoders import TinyTextEncoder
+        enc = TinyTextEncoder(context_dim=pipe.mc.unet.context_dim)
+        n = cfg.calib_num_samples
+        context = enc.encode([f"a photo of object {i}" for i in range(n)])
+        uncond = enc.encode([""] * n)
+
+    t0 = time.perf_counter()
+    key = jax.random.PRNGKey(0)
+    sel = pipe.tdac_calibration(variables, key, context=context,
+                                uncond=uncond)
+    cali = pipe.build_cali_data(sel, context=context, uncond=uncond)
+    jax.block_until_ready(cali[0])
+    print(f"TDAC ({cfg.calib_num_samples} samples, {cfg.custom_steps} steps,"
+          f" traj batch {cfg.batch_samples}): "
+          f"{time.perf_counter() - t0:.0f}s", flush=True)
+    mem("tdac")
+
+    t0 = time.perf_counter()
+    variables = pipe.calibrate(variables, cali)
+    jax.block_until_ready(variables["unet"]["quant"])
+    print(f"scale init: {time.perf_counter() - t0:.0f}s", flush=True)
+    mem("calib")
+
+    if not args.skip_recon:
+        t0 = time.perf_counter()
+        n_done = []
+        variables = pipe.reconstruct(
+            variables, cali, jax.random.PRNGKey(1),
+            progress=lambda nm, l: (n_done.append(nm), print(
+                f"  {nm}: {l:.4g} ({time.perf_counter() - t0:.0f}s)",
+                flush=True)))
+        print(f"recon FULL plan ({len(n_done)} targets, iters={cfg.iters}, "
+              f"group={cfg.recon_group_size}): "
+              f"{time.perf_counter() - t0:.0f}s", flush=True)
+        mem("recon")
+
+    # free calibration caches before production-batch sampling
+    del cali, sel
+
+    ctx_b = unc_b = None
+    if context is not None:
+        ctx_b = context[:cfg.batch_size]
+        unc_b = uncond[:cfg.batch_size]
+    t0 = time.perf_counter()
+    imgs = pipe.sample_batch(variables, jax.random.PRNGKey(2),
+                             context=ctx_b, uncond=unc_b)
+    jax.block_until_ready(imgs)
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for i in range(args.sample_batches):
+        imgs = pipe.sample_batch(variables, jax.random.PRNGKey(3 + i),
+                                 context=ctx_b, uncond=unc_b)
+    jax.block_until_ready(imgs)
+    dt = (time.perf_counter() - t0) / args.sample_batches
+    print(f"sampling: batch {cfg.batch_size} x {cfg.custom_steps} steps "
+          f"+ VAE decode -> {imgs.shape} | first {compile_s:.0f}s, warm "
+          f"{dt:.1f}s/batch = {cfg.batch_size / dt:.2f} img/s, "
+          f"{dt / cfg.custom_steps * 1e3:.1f} ms/denoise-step", flush=True)
+    mem("sample")
+    print("finite:", bool(jnp.isfinite(imgs).all()), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -22,15 +22,24 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=500)
     ap.add_argument("--group", type=int, default=4)
+    ap.add_argument("--window", type=int, default=0,
+                    help="group across up to N interleaved targets")
     ap.add_argument("--calib", type=int, default=1024)
     ap.add_argument("--targets", type=int, default=0,
                     help="limit plan length (0 = full)")
+    ap.add_argument("--capture-bs", type=int, default=256,
+                    help="chunk size for capture forwards")
+    ap.add_argument("--cache-dtype", default=None,
+                    help="e.g. bfloat16 to halve activation caches")
     args_cli = ap.parse_args()
 
     from eda_dm_tpu.models.ddpm_unet import DDPMUNet, DDPMConfig, \
         ddpm_recon_plan
     from eda_dm_tpu.quant import QuantConfig, QuantMode, FP
     from eda_dm_tpu.calib.recon import ReconArgs, reconstruct
+    from eda_dm_tpu.utils.run import enable_compilation_cache
+
+    enable_compilation_cache()
 
     arch = DDPMConfig()
     qc = QuantConfig(weight_bit=4, act_bit=8)
@@ -54,7 +63,9 @@ def main():
     plan = ddpm_recon_plan(arch, qc)
     if args_cli.targets:
         plan = plan[:args_cli.targets]
-    rargs = ReconArgs(iters=args_cli.iters, batch_size=32)
+    rargs = ReconArgs(iters=args_cli.iters, batch_size=32,
+                      capture_batch_size=args_cli.capture_bs,
+                      cache_dtype=args_cli.cache_dtype)
 
     times = []
     t_start = time.perf_counter()
@@ -67,11 +78,12 @@ def main():
 
     variables = reconstruct(model, variables, cali_data, plan, rargs,
                             jax.random.PRNGKey(1), progress=progress,
-                            group_size=args_cli.group)
+                            group_size=args_cli.group,
+                            group_window=args_cli.window)
     jax.block_until_ready(variables["quant"])
     total = time.perf_counter() - t_start
     print(f"TOTAL: {len(plan)} targets, iters={args_cli.iters}, "
-          f"group={args_cli.group}: {total:.0f}s "
+          f"group={args_cli.group}, window={args_cli.window}: {total:.0f}s "
           f"({total / len(plan):.1f}s/target)", flush=True)
 
 
