@@ -3,15 +3,18 @@
 Prints ONE JSON line:
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-``value`` is the quantized serving path: W4A8 deployment export
-(eda_dm_tpu/quant/export.py::export_serving — hard-rounded 4/8-bit weights
-folded once, runtime 8-bit activation quantizers, bf16 carrier dtype) at
-the reference's FID sampling batch size (500, configs/cifar10.yml
+``value`` is the best quantized serving path of:
+* export_serving (bf16 carrier, folded int-grid weights), and
+* export_serving_int8 + DEPLOY_INT8 — NATIVE int8: integer weights, int8
+  activation codes, int8xint8->int32 convs/matmuls on the MXU's int8 mode
+  (measured ~1.3x the bf16 rate on this chip) with exact f32 dequant
+  epilogues,
+at the reference's FID sampling batch size (500, configs/cifar10.yml
 sampling.batch_size).  ``vs_baseline`` is the ratio vs the FP32 forward on
 the same chip — the analogue of the reference's "acceleration vs FP"
 headline (README.md:92-124, 1.75-1.88x on RTX 3090 via external INT8 CUDA
-kernels; here the carrier is bf16 + folded int-grid weights, numerics
-identical to the fake-quant path up to carrier rounding).
+kernels).  Timing forces a device-to-host readback of a scalar reduction
+so relay-side async completion cannot overstate throughput.
 """
 
 import json
@@ -44,28 +47,36 @@ def main():
         mutable=["quant"]))(variables)
     variables = {**variables, "quant": upd["quant"]}
 
-    from eda_dm_tpu.quant.export import export_serving, DEPLOY
+    from eda_dm_tpu.quant.export import (export_serving, export_serving_int8,
+                                         DEPLOY, DEPLOY_INT8)
 
     serving = export_serving(variables, qc)      # folded weights, bf16 carrier
+    serving8 = export_serving_int8(variables, qc)
     x16 = x.astype(jnp.bfloat16)
 
     def bench_mode(vs, xx, mode, iters=10):
-        fn = jax.jit(lambda v, x, t: model.apply(v, x, t, mode))
-        fn(vs, xx, t).block_until_ready()                 # compile
+        fn = jax.jit(
+            lambda v, x, t: jnp.sum(model.apply(v, x, t, mode)
+                                    .astype(jnp.float32)))
+        float(fn(vs, xx, t))                              # compile + sync
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(vs, xx, t)
-        out.block_until_ready()
+        float(out)                                        # forced readback
         return iters / (time.perf_counter() - t0)
 
     q_sps = bench_mode(serving, x16, DEPLOY)
+    q8_sps = bench_mode(serving8, x16, DEPLOY_INT8)
     fp_sps = bench_mode(variables, x, FP)
+    best = max(q_sps, q8_sps)
 
     print(json.dumps({
-        "metric": "W4A8 UNet denoise steps/sec/chip (batch 500, CIFAR arch)",
-        "value": round(q_sps, 3),
+        "metric": "W4A8 UNet denoise steps/sec/chip (batch 500, CIFAR arch; "
+                  f"bf16 {round(q_sps, 2)} / int8 {round(q8_sps, 2)} / "
+                  f"fp32 {round(fp_sps, 2)})",
+        "value": round(best, 3),
         "unit": "steps/s",
-        "vs_baseline": round(q_sps / fp_sps, 3),
+        "vs_baseline": round(best / fp_sps, 3),
     }))
 
 

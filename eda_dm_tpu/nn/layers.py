@@ -114,6 +114,29 @@ class ActQuantizer(nn.Module):
         return x_fq
 
 
+def _quantize_act_int8(x: jnp.ndarray, delta: jnp.ndarray,
+                       zp: jnp.ndarray, n_levels: int):
+    """8-bit activation codes recentered to int8.
+
+    The affine code q ∈ [−zp, L−1−zp] spans up to 256 values, so it is
+    shifted by c = L/2 − zp into [−128, 127]; the conv epilogue adds the
+    ``c·Σw`` correction back (export_serving_int8 docstring).  Returns
+    (int8 codes, c) with ``(codes + c)·Δ`` == the fake-quant value.
+    """
+    xf = x.astype(jnp.float32)
+    q = jnp.clip(jnp.round(xf / delta), -zp, n_levels - 1 - zp)
+    c = n_levels / 2 - zp
+    return (q - c).astype(jnp.int8), c
+
+
+def _same_pads(h: int, w: int, kh: int, kw: int, sh: int, sw: int):
+    def one(size, k, s):
+        out = -(-size // s)
+        total = max((out - 1) * s + k - size, 0)
+        return (total // 2, total - total // 2)
+    return one(h, kh, sh), one(w, kw, sw)
+
+
 class _WeightQuant:
     """Helper mixing weight-quantizer state into QConv/QDense.
 
@@ -191,6 +214,15 @@ class QConv(nn.Module):
         if mode.capture:
             self.sow("taps", "in", x, reduce_fn=_sow_reduce)
 
+        # --- native int8 serving path (export_serving_int8 weights) -------
+        # 8-bit-weight layers (first/last) keep the folded bf16 path: their
+        # centered codes can exceed int8 range
+        if (mode.int8 and mode.a_quant and not mode.calib_a
+                and not mode.w_quant and not mode.training
+                and not mode.capture and not self.disable_act_quant
+                and self.wq.n_bits <= 7):
+            return self._int8_forward(x, bias, mode)
+
         # --- fused serving path (Pallas quantize+matmul, 1x1 convs) -------
         if (mode.fused and mode.a_quant and not mode.calib_a
                 and not mode.w_quant and not mode.training
@@ -249,6 +281,60 @@ class QConv(nn.Module):
             self.sow("taps", "out", out, reduce_fn=_sow_reduce)
         return out
 
+    def _int8_forward(self, x, bias, mode):
+        """Serving forward on integer weights: quantize the input to int8,
+        run the convolution on the MXU's int8 mode with int32 accumulation,
+        and dequantize in a fused f32 epilogue.
+
+        Exact algebra (per channel half h with act params (Δx, zpx) and
+        per-output-channel weight scale Δw):
+            x̂·ŵ = Δx·Δw · [conv(q_s, w_int) + c·Σw]      c = 128 − zpx
+        Split layers run one conv per half and sum epilogues.  ``SAME``
+        padding is applied manually with pad value −c (the int8 code of
+        x = 0) before a VALID conv.
+        """
+        in_ch = x.shape[-1]
+        halves = ([(0, self.split, "w0", "act_quantizer"),
+                   (self.split, in_ch, "w1", "act_quantizer_1")]
+                  if self.split > 0 else [(0, in_ch, "w0", "act_quantizer")])
+        kh, kw = self.kernel_size
+        sh, sw = self.strides
+        if self.padding == "SAME":
+            pads = _same_pads(x.shape[1], x.shape[2], kh, kw, sh, sw)
+        elif self.padding == "VALID":
+            pads = ((0, 0), (0, 0))
+        else:
+            pads = tuple(self.padding)
+
+        n_lv = self.aq.n_levels
+        out = None
+        for s, e, name, qname in halves:
+            d, zp = ActQuantizer(self.aq, name=qname)(x, mode,
+                                                      params_only=True)
+            w_int = self.variable(
+                "quant", f"{name}_int",
+                lambda: jnp.zeros((kh, kw, e - s, self.features), jnp.int8))
+            w_isum = self.variable(
+                "quant", f"{name}_isum",
+                lambda: jnp.zeros((self.features,), jnp.float32))
+            w_delta = self.variable(
+                "quant", f"{name}_delta",
+                lambda: jnp.ones((1, 1, 1, self.features), jnp.float32))
+            qs, c = _quantize_act_int8(x[..., s:e], d, zp, n_lv)
+            if pads != ((0, 0), (0, 0)):
+                qs = jnp.pad(qs, ((0, 0), pads[0], pads[1], (0, 0)),
+                             constant_values=(-c).astype(jnp.int8))
+            acc = jax.lax.conv_general_dilated(
+                qs, w_int.value, window_strides=(sh, sw), padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            term = (acc.astype(jnp.float32) + c * w_isum.value) \
+                * (d * w_delta.value.reshape(1, 1, 1, -1))
+            out = term if out is None else out + term
+        if bias is not None:
+            out = out + bias.astype(jnp.float32)
+        return out.astype(x.dtype)
+
     def _fused_forward(self, x, kernel, bias, mode):
         """Deployment fast path: a 1x1 conv is a matmul over channels; the
         act fake-quant fuses into the Pallas tile load
@@ -296,6 +382,32 @@ class QDense(nn.Module):
 
         if mode.capture:
             self.sow("taps", "in", x, reduce_fn=_sow_reduce)
+
+        # --- native int8 serving path (see QConv._int8_forward) -----------
+        if (mode.int8 and mode.a_quant and not mode.calib_a
+                and not mode.w_quant and not mode.training
+                and not mode.capture and not self.disable_act_quant
+                and self.wq.n_bits <= 7):
+            d, zp = ActQuantizer(self.aq, name="act_quantizer")(
+                x, mode, params_only=True)
+            w_int = self.variable(
+                "quant", "w0_int",
+                lambda: jnp.zeros((in_ch, self.features), jnp.int8))
+            w_isum = self.variable(
+                "quant", "w0_isum",
+                lambda: jnp.zeros((self.features,), jnp.float32))
+            w_delta = self.variable(
+                "quant", "w0_delta",
+                lambda: jnp.ones((1, self.features), jnp.float32))
+            qs, c = _quantize_act_int8(x, d, zp, self.aq.n_levels)
+            acc = jnp.matmul(qs.reshape(-1, in_ch), w_int.value,
+                             preferred_element_type=jnp.int32)
+            out = (acc.astype(jnp.float32) + c * w_isum.value) \
+                * (d * w_delta.value.reshape(1, -1))
+            if bias is not None:
+                out = out + bias.astype(jnp.float32)
+            return out.reshape(*x.shape[:-1],
+                               self.features).astype(x.dtype)
 
         if (mode.fused and mode.a_quant and not mode.calib_a
                 and not mode.w_quant and not mode.training

