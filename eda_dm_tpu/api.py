@@ -21,7 +21,8 @@ from typing import Any, Dict, Optional, Sequence, Tuple
 import jax
 
 from .quant.config import QuantConfig, QuantMode, FP, WAQ
-from .quant.export import fold_quantized_weights, DEPLOY
+from .quant.export import (fold_quantized_weights, export_serving,
+                           export_serving_int8, DEPLOY, DEPLOY_INT8)
 from .calib.scale_init import set_weight_quantize_params, \
     set_act_quantize_params
 from .calib.recon import ReconArgs, reconstruct as _reconstruct
@@ -98,7 +99,22 @@ def reconstruct(model, variables: Dict[str, Any], cali_data: Sequence,
                         progress=progress)
 
 
-def export_for_serving(variables: Dict[str, Any], qc: QuantConfig):
-    """Fold quantized weights for the FP-speed serving path; use
-    ``quant.export.DEPLOY`` as the forward mode."""
-    return fold_quantized_weights(variables, qc)
+def export_for_serving(variables: Dict[str, Any], qc: QuantConfig,
+                       kind: str = "int8"):
+    """Deployment export.
+
+    kind='int8'  → integer weights + int8 MXU convs; serve with
+                   ``quant.export.DEPLOY_INT8`` (fastest measured path,
+                   PERF.md).
+    kind='bf16'  → folded weights cast to a bf16 carrier; serve with
+                   ``quant.export.DEPLOY``.
+    kind='fold'  → folded weights at original dtype (exact ≡ fake-quant);
+                   serve with ``DEPLOY``.
+    """
+    if kind == "int8":
+        return export_serving_int8(variables, qc)
+    if kind == "bf16":
+        return export_serving(variables, qc)
+    if kind == "fold":
+        return fold_quantized_weights(variables, qc)
+    raise ValueError(f"unknown export kind: {kind!r}")

@@ -264,6 +264,13 @@ class QConv(nn.Module):
         # for it (measured on v5e: quant+conv1x1 2.47 ms vs quant+matmul
         # 1.29 ms at batch 500 / 32x32x256).  FP mode keeps the conv
         # lowering, which XLA schedules better without the quant producer.
+        # serving trees may carry a reduced-precision carrier (bf16 folded
+        # kernels) while callers feed f32 (or vice versa) — promote to the
+        # wider dtype so lax.conv's equal-dtype requirement holds
+        if w.dtype != x.dtype:
+            ct = jnp.promote_types(w.dtype, x.dtype)
+            w = w.astype(ct)
+            x = x.astype(ct)
         if (self.kernel_size == (1, 1) and tuple(self.strides) == (1, 1)
                 and self.padding == "VALID"
                 and (mode.a_quant or mode.calib_a)):

@@ -68,6 +68,10 @@ class LDMTaskConfig:
     input_prob: float = 0.5
     recon_batch_size: int = 32
     capture_batch_size: Optional[int] = None
+    # scale-init streaming batch: LDM attention weights at 32x32 latents are
+    # (B, heads, 1024, 1024) — batch 256 would materialize 15 GB tensors
+    # (and overflow int32 flat indexing in the histogram search)
+    calib_batch_size: int = 64
     # batch adjacent same-shape targets into one vmapped scan
     # (calib/recon.py::reconstruct_group); 1 = reference-exact order
     recon_group_size: int = 4
@@ -187,7 +191,10 @@ class LDMPipeline:
         n_batches = max(1, cfg.calib_num_samples // B)
         unet_vars = variables["unet"]
 
-        def make_model_aux(ctx_b, unc_b, with_feat):
+        sample_fn = (ldm_plms_sample if cfg.sampler == "plms"
+                     else ldm_ddim_sample)
+
+        def make_model_aux(uv, ctx_b, unc_b, with_feat):
             if self.is_conditional:
                 def model_aux(x, t):
                     x_in = jnp.concatenate([x, x])
@@ -196,35 +203,45 @@ class LDMPipeline:
                     mode = FP.replace(capture=with_feat)
                     if with_feat:
                         out, taps = self.ld.unet.apply(
-                            unet_vars, x_in, t_in, context=c_in, mode=mode,
+                            uv, x_in, t_in, context=c_in, mode=mode,
                             mutable=["taps"])
                         feat = taps["taps"]
                         for k in self._mid_tap_key():
                             feat = feat[k]
                     else:
-                        out = self.ld.unet.apply(unet_vars, x_in, t_in,
+                        out = self.ld.unet.apply(uv, x_in, t_in,
                                                  context=c_in, mode=mode)
                         feat = jnp.zeros(())
                     e_u, e_c = jnp.split(out, 2)
                     return e_u + cfg.scale * (e_c - e_u), feat
                 return model_aux
             if with_feat:
-                return self.unet_fn(unet_vars, context=ctx_b, mode=FP,
+                return self.unet_fn(uv, context=ctx_b, mode=FP,
                                     with_aux=True)
-            fn = self.unet_fn(unet_vars, context=ctx_b, mode=FP)
+            fn = self.unet_fn(uv, context=ctx_b, mode=FP)
             return lambda x, t: (fn(x, t), jnp.zeros(()))
 
-        sample_fn = (ldm_plms_sample if cfg.sampler == "plms"
-                     else ldm_ddim_sample)
+        def traj_fn(with_feat: bool):
+            """One jitted trajectory per with_feat value, with variables,
+            context rows and keys as *arguments* — a per-batch
+            jit(lambda) here recompiled the full multi-hundred-step scan
+            for every trajectory batch (measured ~1 h of host compile on
+            the bedroom config)."""
+            key_ = ("tdac_traj", with_feat)
+            if key_ not in self._sampler_cache:
+                def fn(uv, x_T, ctx_b, unc_b, k_traj):
+                    model_aux = make_model_aux(uv, ctx_b, unc_b, with_feat)
+                    _, traj = sample_fn(x_T, self.sched, model_aux,
+                                        key=k_traj, record_xt=True,
+                                        model_returns_aux=True)
+                    return traj
+                self._sampler_cache[key_] = jax.jit(fn)
+            return self._sampler_cache[key_]
 
         def run_traj(k_noise, k_traj, ctx_b, unc_b, with_feat):
             x_T = jax.random.normal(
                 k_noise, (B, res, res, self.mc.unet.in_channels))
-            model_aux = make_model_aux(ctx_b, unc_b, with_feat)
-            _, traj = jax.jit(lambda xx: sample_fn(
-                xx, self.sched, model_aux, key=k_traj, record_xt=True,
-                model_returns_aux=True), static_argnums=())(x_T)
-            return traj
+            return traj_fn(with_feat)(unet_vars, x_T, ctx_b, unc_b, k_traj)
 
         def ctx_slice(arr, r):
             if arr is None:
@@ -285,8 +302,9 @@ class LDMPipeline:
         unet_vars = variables["unet"]
         unet_vars = set_weight_quantize_params(self.ld.unet, unet_vars,
                                                cali_data)
-        unet_vars = set_act_quantize_params(self.ld.unet, unet_vars,
-                                            cali_data)
+        unet_vars = set_act_quantize_params(
+            self.ld.unet, unet_vars, cali_data,
+            batch_size=self.cfg.calib_batch_size)
         return {**variables, "unet": unet_vars}
 
     def reconstruct(self, variables, cali_data, key, progress=None):

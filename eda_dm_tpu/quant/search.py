@@ -201,25 +201,45 @@ def search_range(x_flat: jnp.ndarray, n_levels: int, one_side: jnp.ndarray,
     return jax.lax.cond(one_side != ONE_SIDE_NO, do_1d, do_2d, x_flat)
 
 
+_HIST_CHUNK = 1 << 28      # sort at most 256M elements at a time
+
+
 def _exact_histogram(x_flat: jnp.ndarray, bins: int):
     """Exact value-histogram of a flat tensor without scatter ops.
 
-    TPU-native construction: one ``sort`` + a 4k-edge ``searchsorted``
-    (binary search), both of which XLA lowers efficiently — no scatter-add.
+    TPU-native construction: ``sort`` + a 4k-edge ``searchsorted`` (binary
+    search), both of which XLA lowers efficiently — no scatter-add.
+    Tensors beyond 256M elements are histogrammed in chunks against the
+    shared global-range edges and the exact counts summed (the 32×32-latent
+    attention-weight quantizers reach billions of elements, past both HBM
+    comfort and searchsorted's int32 indexing).
     Returns (centers (bins,), counts (bins,), x_min (), x_max ()).  Counts
     are exact; downstream scoring approximates each element by its bin
     center (error ≤ range/(2·bins), i.e. ~delta/32 at 8 bits with 4096
     bins).
     """
+    size = x_flat.shape[-1]
     x_min = jnp.min(x_flat)
     x_max = jnp.max(x_flat)
     span = jnp.maximum(x_max - x_min, EPS)
-    xs = jnp.sort(x_flat)
     edges = x_min + span * jnp.arange(bins + 1, dtype=x_flat.dtype) / bins
-    idx = jnp.searchsorted(xs, edges, side="left")
-    counts = jnp.diff(idx).astype(x_flat.dtype)
-    # elements equal to x_max sit past the last 'left' boundary
-    counts = counts.at[-1].add(x_flat.shape[-1] - idx[-1])
+
+    def chunk_counts(part):
+        xs = jnp.sort(part)
+        idx = jnp.searchsorted(xs, edges, side="left")
+        c = jnp.diff(idx).astype(x_flat.dtype)
+        # elements equal to x_max sit past the last 'left' boundary
+        return c.at[-1].add(part.shape[-1] - idx[-1])
+
+    if size <= _HIST_CHUNK:
+        counts = chunk_counts(x_flat)
+    else:
+        counts = jnp.zeros((bins,), x_flat.dtype)
+        for start in range(0, size, _HIST_CHUNK):
+            end = min(start + _HIST_CHUNK, size)
+            counts = counts + chunk_counts(
+                jax.lax.slice_in_dim(x_flat, start, end,
+                                     axis=x_flat.ndim - 1))
     centers = 0.5 * (edges[:-1] + edges[1:])
     return centers, counts, x_min, x_max
 
