@@ -27,6 +27,9 @@ import jax.numpy as jnp
 def main():
     from eda_dm_tpu.models.ddpm_unet import DDPMUNet, DDPMConfig
     from eda_dm_tpu.quant import QuantConfig, QuantMode, FP
+    from eda_dm_tpu.utils.run import enable_compilation_cache
+
+    enable_compilation_cache()
 
     arch = DDPMConfig()          # full CIFAR-10 architecture (35M params)
     qc = QuantConfig(weight_bit=4, act_bit=8)

@@ -91,6 +91,11 @@ class ReconArgs:
     # calib-1024 recon plan fits one 16 GB chip; minibatches are upcast to
     # f32 before the block forward/loss).  None = full f32 caches.
     cache_dtype: Optional[str] = None
+    # cap on a group's summed activation-cache bytes: groups whose members'
+    # captures would exceed this split into smaller runs (a group of 4
+    # 64x64-latent res blocks at calib 1024 needs ~36 GB).  Estimated via
+    # eval_shape before any capture runs.
+    capture_budget_bytes: int = 6_000_000_000
 
 
 # --------------------------------------------------------------------------
@@ -505,6 +510,41 @@ def group_plan(plan: Sequence[ReconTarget], group_size: int,
     return groups
 
 
+def _member_cache_bytes(model, variables, cali_data, target: ReconTarget,
+                        args: ReconArgs) -> int:
+    """Estimated bytes of one target's activation caches (no execution:
+    abstract trace of the capture forward via eval_shape)."""
+    _, _, fp_keep, q_keep = _keep_paths(target)
+    keeps = [target.path + kp for kp in fp_keep] + \
+            [target.path + kp for kp in q_keep]
+    n = cali_data[0].shape[0]
+    bs = args.capture_batch_size or n
+    batch = tuple(jax.ShapeDtypeStruct((bs,) + a.shape[1:], a.dtype)
+                  for a in cali_data)
+
+    def fn(v, b):
+        _, taps = model.apply(v, *b, mode=FP_CAPTURE, mutable=["taps"])
+        return tuple(get_subtree(taps["taps"], kp) for kp in keeps)
+
+    shapes = jax.eval_shape(fn, variables, batch)
+    itemsize = 2 if args.cache_dtype else 4
+    scale = max(1, n // bs)
+    return int(sum(int(np.prod(s.shape)) * itemsize * scale
+                   for s in shapes))
+
+
+def _split_by_budget(model, variables, cali_data,
+                     grp: List[ReconTarget], args: ReconArgs):
+    """Split a group so its summed cache bytes stay under the budget."""
+    if len(grp) == 1:
+        return [grp]
+    per = _member_cache_bytes(model, variables, cali_data, grp[0], args)
+    fit = max(1, args.capture_budget_bytes // max(per, 1))
+    if fit >= len(grp):
+        return [grp]
+    return [grp[i:i + fit] for i in range(0, len(grp), fit)]
+
+
 def _shape_sig(variables, target: ReconTarget, data: Dict[str, Any]):
     """Hashable (treedef, leaf shapes/dtypes) of everything the scan stacks."""
     tree = (get_subtree(variables["params"], target.path),
@@ -531,6 +571,9 @@ def reconstruct(model, variables: Dict[str, Any], cali_data: Sequence,
               else [[t] for t in plan])
     release = lambda tree: jax.tree.map(
         lambda x: x.delete() if hasattr(x, "delete") else None, tree)
+    groups = [sg for g in groups
+              for sg in _split_by_budget(model, variables, cali_data, g,
+                                         args)]
     for grp in groups:
         datas = build_group_data(model, variables, cali_data, grp, args)
 

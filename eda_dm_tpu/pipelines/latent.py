@@ -70,8 +70,9 @@ class LDMTaskConfig:
     capture_batch_size: Optional[int] = None
     # scale-init streaming batch: LDM attention weights at 32x32 latents are
     # (B, heads, 1024, 1024) — batch 256 would materialize 15 GB tensors
-    # (and overflow int32 flat indexing in the histogram search)
-    calib_batch_size: int = 64
+    # (and overflow int32 flat indexing in the histogram search); 64 still
+    # OOMed on the 16 GB chip with the calib graph's concurrent liveness
+    calib_batch_size: int = 32
     # batch adjacent same-shape targets into one vmapped scan
     # (calib/recon.py::reconstruct_group); 1 = reference-exact order
     recon_group_size: int = 4
@@ -312,7 +313,8 @@ class LDMPipeline:
         args = ReconArgs(iters=cfg.iters, batch_size=cfg.recon_batch_size,
                          lr_w=cfg.lr_w, lr_a=cfg.lr_a, add_loss=cfg.add_loss,
                          input_prob=cfg.input_prob,
-                         capture_batch_size=cfg.capture_batch_size,
+                         capture_batch_size=(cfg.capture_batch_size
+                                             or cfg.calib_batch_size),
                          cache_dtype=cfg.cache_dtype)
         plan = ldm_recon_plan(self.mc.unet, self.qc)
         unet_vars = reconstruct(self.ld.unet, variables["unet"], cali_data,
