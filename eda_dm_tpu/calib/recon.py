@@ -557,7 +557,8 @@ def reconstruct(model, variables: Dict[str, Any], cali_data: Sequence,
                 plan: Sequence[ReconTarget], args: ReconArgs,
                 key: jax.Array,
                 progress: Optional[Callable[[str, float], None]] = None,
-                group_size: int = 1, group_window: int = 0):
+                group_size: int = 1, group_window: int = 0,
+                clear_caches_every: int = 0):
     """Sequential block/layer reconstruction over the plan
     (recon_block_Qmodel.recon, qdiff/recon_block_Qmodel.py:18-94).
 
@@ -566,6 +567,14 @@ def reconstruct(model, variables: Dict[str, Any], cali_data: Sequence,
     of adjacent same-shape targets into one vmapped scan + shared captures
     (see :func:`reconstruct_group` for the exact semantics deviation);
     ``group_size=1`` is the reference-exact sequential path.
+
+    ``clear_caches_every=N`` drops the jit executable caches every N groups:
+    compiled TPU programs occupy device memory, and a long plan over a large
+    model can exhaust it through program accumulation alone (observed on the
+    bedroom config: a capture graph with ~0 temp bytes raised
+    RESOURCE_EXHAUSTED after the calibration phases' programs were resident,
+    but ran fine in a fresh process).  With the persistent compilation cache
+    on, re-needed programs deserialize from disk instead of recompiling.
     """
     groups = (group_plan(plan, group_size, group_window) if group_size > 1
               else [[t] for t in plan])
@@ -574,7 +583,9 @@ def reconstruct(model, variables: Dict[str, Any], cali_data: Sequence,
     groups = [sg for g in groups
               for sg in _split_by_budget(model, variables, cali_data, g,
                                          args)]
-    for grp in groups:
+    for gi, grp in enumerate(groups):
+        if clear_caches_every and gi and gi % clear_caches_every == 0:
+            jax.clear_caches()
         datas = build_group_data(model, variables, cali_data, grp, args)
 
         # same signature can still stack differently (e.g. inferred input

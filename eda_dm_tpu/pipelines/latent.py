@@ -79,6 +79,9 @@ class LDMTaskConfig:
     # let a group absorb same-shape targets separated by up to this many
     # interleaved targets (bridges block/attn alternation); 0 = adjacent
     recon_group_window: int = 0
+    # drop jit executable caches every N recon groups (compiled TPU programs
+    # occupy device memory; see calib/recon.py::reconstruct) — 0 = never
+    recon_clear_caches_every: int = 6
     # store recon activation caches at this dtype ('bfloat16' halves the
     # 64x64-latent captures so full calib-1024 plans fit one chip)
     cache_dtype: str = None
@@ -320,7 +323,9 @@ class LDMPipeline:
         unet_vars = reconstruct(self.ld.unet, variables["unet"], cali_data,
                                 plan, args, key, progress=progress,
                                 group_size=cfg.recon_group_size,
-                                group_window=cfg.recon_group_window)
+                                group_window=cfg.recon_group_window,
+                                clear_caches_every=
+                                cfg.recon_clear_caches_every)
         return {**variables, "unet": unet_vars}
 
     # ------------------------------------------------------------------

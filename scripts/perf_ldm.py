@@ -39,6 +39,17 @@ def main():
     ap.add_argument("--group", type=int, default=4)
     ap.add_argument("--sample-batches", type=int, default=2)
     ap.add_argument("--skip-recon", action="store_true")
+    ap.add_argument("--quick-calib", action="store_true",
+                    help="tiny-batch quant-state init instead of TDAC + "
+                         "full scale init (throughput/memory rows only)")
+    ap.add_argument("--phase", default="all",
+                    choices=["all", "calib", "recon", "sample"],
+                    help="run one phase per process: compiled TPU programs "
+                         "stay resident on the relay for a process lifetime "
+                         "and a full pipeline's programs exhaust device "
+                         "memory on the largest models; phases hand off "
+                         "quant state + calib set via --state-dir")
+    ap.add_argument("--state-dir", default="/tmp/perf_ldm_state")
     args = ap.parse_args()
 
     from eda_dm_tpu.pipelines.latent import LDMPipeline, task_config
@@ -81,24 +92,65 @@ def main():
         context = enc.encode([f"a photo of object {i}" for i in range(n)])
         uncond = enc.encode([""] * n)
 
+    import numpy as np
+    from eda_dm_tpu.utils.checkpointing import (save_quant_state,
+                                                load_quant_state)
+    state_dir = os.path.join(args.state_dir, args.task)
+    os.makedirs(state_dir, exist_ok=True)
+    qs_path = os.path.join(state_dir, "quant_state")
+    cali_path = os.path.join(state_dir, "cali.npz")
+
+    if args.phase in ("recon", "sample"):
+        variables = {**variables,
+                     "unet": load_quant_state(qs_path, variables["unet"])}
+        data = np.load(cali_path)
+        cali = tuple(jnp.asarray(data[k]) for k in sorted(data.files))
+        print(f"loaded phase state from {state_dir}", flush=True)
+
     t0 = time.perf_counter()
     key = jax.random.PRNGKey(0)
-    sel = pipe.tdac_calibration(variables, key, context=context,
-                                uncond=uncond)
-    cali = pipe.build_cali_data(sel, context=context, uncond=uncond)
-    jax.block_until_ready(cali[0])
-    print(f"TDAC ({cfg.calib_num_samples} samples, {cfg.custom_steps} steps,"
-          f" traj batch {cfg.batch_samples}): "
-          f"{time.perf_counter() - t0:.0f}s", flush=True)
-    mem("tdac")
+    sel = None
+    if args.phase in ("recon", "sample"):
+        pass
+    elif args.quick_calib:
+        res = pipe.mc.unet.image_size
+        xq = jax.random.normal(key, (8, res, res, pipe.mc.unet.in_channels))
+        tq = jax.random.uniform(key, (8,), minval=0, maxval=999.0)
+        if context is None:
+            cali = (xq, tq)
+        else:                     # CFG row layout (build_cali_data)
+            cali = (jnp.concatenate([xq, xq]), jnp.concatenate([tq, tq]),
+                    jnp.concatenate([uncond[:8], context[:8]]))
+        variables = pipe.calibrate(variables, cali)
+        jax.block_until_ready(variables["unet"]["quant"])
+        print(f"quick calib (8 samples): {time.perf_counter() - t0:.0f}s",
+              flush=True)
+        sel = None
+    else:
+        sel = pipe.tdac_calibration(variables, key, context=context,
+                                    uncond=uncond)
+        cali = pipe.build_cali_data(sel, context=context, uncond=uncond)
+        jax.block_until_ready(cali[0])
+        print(f"TDAC ({cfg.calib_num_samples} samples, {cfg.custom_steps} "
+              f"steps, traj batch {cfg.batch_samples}): "
+              f"{time.perf_counter() - t0:.0f}s", flush=True)
+        mem("tdac")
 
-    t0 = time.perf_counter()
-    variables = pipe.calibrate(variables, cali)
-    jax.block_until_ready(variables["unet"]["quant"])
-    print(f"scale init: {time.perf_counter() - t0:.0f}s", flush=True)
-    mem("calib")
+        t0 = time.perf_counter()
+        variables = pipe.calibrate(variables, cali)
+        jax.block_until_ready(variables["unet"]["quant"])
+        print(f"scale init: {time.perf_counter() - t0:.0f}s", flush=True)
+        mem("calib")
+        jax.clear_caches()      # free resident compiled programs
 
-    if not args.skip_recon:
+    if args.phase == "calib":
+        save_quant_state(qs_path, variables["unet"])
+        np.savez(cali_path, **{f"a{i}": np.asarray(a)
+                               for i, a in enumerate(cali)})
+        print("phase=calib complete; state saved", flush=True)
+        return
+
+    if not args.skip_recon and args.phase != "sample":
         t0 = time.perf_counter()
         n_done = []
         variables = pipe.reconstruct(
@@ -110,6 +162,10 @@ def main():
               f"group={cfg.recon_group_size}): "
               f"{time.perf_counter() - t0:.0f}s", flush=True)
         mem("recon")
+        if args.phase == "recon":
+            save_quant_state(qs_path, variables["unet"])
+            print("phase=recon complete; state saved", flush=True)
+            return
 
     # free calibration caches before production-batch sampling
     del cali, sel
