@@ -142,11 +142,20 @@ def capture_target(model, variables, cali_data: Sequence,
         lambda a: a.astype(cache_dtype) if a is not None else a, t)) \
         if cache_dtype else (lambda t: t)
     subs, tembs = [], []
+    import os as _os
+    if _os.environ.get("EDA_DEBUG_CAPTURE"):
+        print(f"    [capture] keep[0]={keep[0]} n={n} bs={bs} "
+              f"mode=(w={mode.w_quant},a={mode.a_quant})", flush=True)
     for i in range(max(1, n // bs)):
         batch = tuple(a[i * bs:(i + 1) * bs] for a in cali_data)
         kept, temb = _capture_batch(model, variables, batch, path,
                                     keep, mode)
         kept, temb = cast(kept), cast(temb)
+        # serialize chunks with a real readback: relay-attached devices can
+        # otherwise pile up concurrent executions whose transients OOM
+        # (utils/run.py::hard_sync)
+        from ..utils.run import hard_sync
+        hard_sync(kept)
         subs.append(kept)
         tembs.append(temb)
     kept = tuple(jnp.concatenate([s[j] for s in subs])
@@ -535,14 +544,25 @@ def _member_cache_bytes(model, variables, cali_data, target: ReconTarget,
 
 def _split_by_budget(model, variables, cali_data,
                      grp: List[ReconTarget], args: ReconArgs):
-    """Split a group so its summed cache bytes stay under the budget."""
-    if len(grp) == 1:
-        return [grp]
+    """Split a group so its summed cache bytes stay under the budget.
+
+    Returns (subgroups, row_cap): when even a single member exceeds the
+    budget (e.g. CFG-doubled calib rows on the 64×64-latent levels), the
+    member's caches are built from the first ``row_cap`` calibration rows
+    instead — the recon scan draws its minibatches from the cache either
+    way, so this only shrinks the sample pool for that target.
+    """
     per = _member_cache_bytes(model, variables, cali_data, grp[0], args)
+    n = cali_data[0].shape[0]
+    if per > args.capture_budget_bytes:
+        frac = args.capture_budget_bytes / per
+        bs = args.capture_batch_size or n
+        row_cap = max(bs, int(n * frac) // bs * bs)
+        return [[t] for t in grp], row_cap
     fit = max(1, args.capture_budget_bytes // max(per, 1))
     if fit >= len(grp):
-        return [grp]
-    return [grp[i:i + fit] for i in range(0, len(grp), fit)]
+        return [grp], None
+    return [grp[i:i + fit] for i in range(0, len(grp), fit)], None
 
 
 def _shape_sig(variables, target: ReconTarget, data: Dict[str, Any]):
@@ -580,13 +600,23 @@ def reconstruct(model, variables: Dict[str, Any], cali_data: Sequence,
               else [[t] for t in plan])
     release = lambda tree: jax.tree.map(
         lambda x: x.delete() if hasattr(x, "delete") else None, tree)
-    groups = [sg for g in groups
-              for sg in _split_by_budget(model, variables, cali_data, g,
-                                         args)]
-    for gi, grp in enumerate(groups):
+    budgeted = []
+    for g in groups:
+        sgs, row_cap = _split_by_budget(model, variables, cali_data, g, args)
+        budgeted += [(sg, row_cap) for sg in sgs]
+    for gi, (grp, row_cap) in enumerate(budgeted):
         if clear_caches_every and gi and gi % clear_caches_every == 0:
             jax.clear_caches()
-        datas = build_group_data(model, variables, cali_data, grp, args)
+        if row_cap:
+            # fixed permutation, not a prefix: CFG calib sets are laid out
+            # [uncond-half; cond-half] and a prefix would drop conditioning
+            perm = np.random.RandomState(0).permutation(
+                cali_data[0].shape[0])[:row_cap]
+            grp_cali = tuple(jnp.take(a, jnp.asarray(perm), axis=0)
+                             for a in cali_data)
+        else:
+            grp_cali = cali_data
+        datas = build_group_data(model, variables, grp_cali, grp, args)
 
         # same signature can still stack differently (e.g. inferred input
         # widths) — split into runs of identical leaf shapes

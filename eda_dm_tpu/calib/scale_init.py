@@ -53,9 +53,11 @@ def set_act_quantize_params(model, variables, cali_data: Sequence,
     n = cali_data[0].shape[0]
     batch_size = min(batch_size, n)
     mode = QuantMode(w_quant=True, a_quant=True, calib_a=True)
+    from ..utils.run import hard_sync
     for i in range(n // batch_size):
         batch = tuple(a[i * batch_size:(i + 1) * batch_size]
                       for a in cali_data)
         quant = _calib_step(model, variables, batch, mode)
+        hard_sync(quant)       # serialize batches (see utils/run.hard_sync)
         variables = {**variables, "quant": quant}
     return variables

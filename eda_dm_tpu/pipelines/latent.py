@@ -85,6 +85,8 @@ class LDMTaskConfig:
     # store recon activation caches at this dtype ('bfloat16' halves the
     # 64x64-latent captures so full calib-1024 plans fit one chip)
     cache_dtype: str = None
+    # cap on a recon group's summed cache bytes (calib/recon.py)
+    capture_budget_bytes: int = 6_000_000_000
     recon: bool = True
     # sampling
     n_samples: int = 50000
@@ -318,7 +320,8 @@ class LDMPipeline:
                          input_prob=cfg.input_prob,
                          capture_batch_size=(cfg.capture_batch_size
                                              or cfg.calib_batch_size),
-                         cache_dtype=cfg.cache_dtype)
+                         cache_dtype=cfg.cache_dtype,
+                         capture_budget_bytes=cfg.capture_budget_bytes)
         plan = ldm_recon_plan(self.mc.unet, self.qc)
         unet_vars = reconstruct(self.ld.unet, variables["unet"], cali_data,
                                 plan, args, key, progress=progress,

@@ -40,6 +40,23 @@ def enable_compilation_cache(path: str = "~/.cache/eda_dm_tpu_xla") -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def hard_sync(tree) -> None:
+    """Force a real device round-trip on one leaf of ``tree``.
+
+    On relay-attached devices ``block_until_ready`` can return before
+    execution finishes, letting dispatches pile up concurrently and exhaust
+    device memory with their transients.  Reading an actual value back
+    drains the (in-order) execution queue.  ~one RTT (~30 ms here).
+    """
+    import jax
+    import numpy as np_
+    leaves = jax.tree.leaves(tree)
+    for leaf in leaves:
+        if hasattr(leaf, "ravel"):
+            np_.asarray(jax.device_get(leaf.ravel()[:1]))
+            return
+
+
 def seed_everything(seed: int) -> "jax.Array":
     """Seed python/numpy and return the root JAX PRNG key.
 

@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--group", type=int, default=4)
     ap.add_argument("--sample-batches", type=int, default=2)
+    ap.add_argument("--budget", type=float, default=6e9,
+                    help="recon cache byte budget per group")
     ap.add_argument("--skip-recon", action="store_true")
     ap.add_argument("--quick-calib", action="store_true",
                     help="tiny-batch quant-state init instead of TDAC + "
@@ -59,7 +61,8 @@ def main():
 
     overrides = dict(calib_num_samples=args.calib,
                      batch_samples=args.traj_batch, iters=args.iters,
-                     recon_group_size=args.group)
+                     recon_group_size=args.group,
+                     capture_budget_bytes=int(args.budget))
     if args.task in ("bedroom", "imagenet", "coco"):
         overrides["cache_dtype"] = "bfloat16"    # 64x64-latent captures
     if args.task == "coco":
@@ -113,18 +116,27 @@ def main():
     if args.phase in ("recon", "sample"):
         pass
     elif args.quick_calib:
+        # quant state from a tiny batch; calib ROWS at full production size
+        # (random) so recon caches exercise production memory.  Keeps this
+        # process nearly program-free before recon — compiled TPU programs
+        # stay resident for the process lifetime and the full TDAC +
+        # scale-init programs alone exhaust device memory on these models.
         res = pipe.mc.unet.image_size
-        xq = jax.random.normal(key, (8, res, res, pipe.mc.unet.in_channels))
-        tq = jax.random.uniform(key, (8,), minval=0, maxval=999.0)
+        n = cfg.calib_num_samples
+        xq = jax.random.normal(key, (n, res, res, pipe.mc.unet.in_channels))
+        tq = jax.random.uniform(key, (n,), minval=0, maxval=999.0)
         if context is None:
             cali = (xq, tq)
         else:                     # CFG row layout (build_cali_data)
+            ctx_n = context[jnp.arange(n) % context.shape[0]]
+            unc_n = uncond[jnp.arange(n) % uncond.shape[0]]
             cali = (jnp.concatenate([xq, xq]), jnp.concatenate([tq, tq]),
-                    jnp.concatenate([uncond[:8], context[:8]]))
-        variables = pipe.calibrate(variables, cali)
+                    jnp.concatenate([unc_n, ctx_n]))
+        variables = pipe.calibrate(variables,
+                                   tuple(a[:8] for a in cali))
         jax.block_until_ready(variables["unet"]["quant"])
-        print(f"quick calib (8 samples): {time.perf_counter() - t0:.0f}s",
-              flush=True)
+        print(f"quick calib (8-sample quant state, {n} calib rows): "
+              f"{time.perf_counter() - t0:.0f}s", flush=True)
         sel = None
     else:
         sel = pipe.tdac_calibration(variables, key, context=context,
