@@ -100,21 +100,24 @@ def reconstruct(model, variables: Dict[str, Any], cali_data: Sequence,
 
 
 def export_for_serving(variables: Dict[str, Any], qc: QuantConfig,
-                       kind: str = "int8"):
-    """Deployment export.
+                       kind: str = "int8"
+                       ) -> Tuple[Dict[str, Any], QuantMode]:
+    """Deployment export.  Returns ``(variables, serve_mode)`` — always
+    forward with the returned mode; each export kind is only correct under
+    its paired mode (int8 trees carry integer leaves the DEPLOY graph never
+    reads, and folded bf16 trees lack them).
 
-    kind='int8'  → integer weights + int8 MXU convs; serve with
-                   ``quant.export.DEPLOY_INT8`` (fastest measured path,
-                   PERF.md).
-    kind='bf16'  → folded weights cast to a bf16 carrier; serve with
-                   ``quant.export.DEPLOY``.
-    kind='fold'  → folded weights at original dtype (exact ≡ fake-quant);
-                   serve with ``DEPLOY``.
+    kind='int8'  → integer weights + int8 MXU convs/matmuls, served under
+                   ``DEPLOY_INT8`` (fastest measured path, PERF.md).
+    kind='bf16'  → folded weights cast to a bf16 carrier, served under
+                   ``DEPLOY``.
+    kind='fold'  → folded weights at original dtype (exact ≡ fake-quant),
+                   served under ``DEPLOY``.
     """
     if kind == "int8":
-        return export_serving_int8(variables, qc)
+        return export_serving_int8(variables, qc), DEPLOY_INT8
     if kind == "bf16":
-        return export_serving(variables, qc)
+        return export_serving(variables, qc), DEPLOY
     if kind == "fold":
-        return fold_quantized_weights(variables, qc)
+        return fold_quantized_weights(variables, qc), DEPLOY
     raise ValueError(f"unknown export kind: {kind!r}")

@@ -105,6 +105,14 @@ class ReconArgs:
 FP_CAPTURE = QuantMode(capture=True)
 
 
+def _pad_rows(a: jnp.ndarray, target: int) -> jnp.ndarray:
+    """Pad a batch to ``target`` rows by cyclic repetition."""
+    if a.shape[0] >= target:
+        return a[:target]
+    reps = -(-target // a.shape[0])
+    return jnp.tile(a, (reps,) + (1,) * (a.ndim - 1))[:target]
+
+
 def quant_capture_mode(act_quant: bool) -> QuantMode:
     return QuantMode(w_quant=True, a_quant=act_quant, capture=True)
 
@@ -137,7 +145,7 @@ def capture_target(model, variables, cali_data: Sequence,
     Returns (dict keyed by keep-path, temb).
     """
     n = cali_data[0].shape[0]
-    bs = batch_size or n
+    bs = min(batch_size or n, n)
     cast = (lambda t: jax.tree.map(
         lambda a: a.astype(cache_dtype) if a is not None else a, t)) \
         if cache_dtype else (lambda t: t)
@@ -146,8 +154,15 @@ def capture_target(model, variables, cali_data: Sequence,
     if _os.environ.get("EDA_DEBUG_CAPTURE"):
         print(f"    [capture] keep[0]={keep[0]} n={n} bs={bs} "
               f"mode=(w={mode.w_quant},a={mode.a_quant})", flush=True)
-    for i in range(max(1, n // bs)):
+    n_full, rem = divmod(n, bs)
+    for i in range(n_full + (1 if rem else 0)):
         batch = tuple(a[i * bs:(i + 1) * bs] for a in cali_data)
+        if rem and i == n_full:
+            # partial tail: pad to bs by repeating rows so the same
+            # compiled program serves it; padded rows are dropped by the
+            # final [:n] slice below.  (No calibration row is ever
+            # silently lost for indivisible n.)
+            batch = tuple(_pad_rows(a, bs) for a in batch)
         kept, temb = _capture_batch(model, variables, batch, path,
                                     keep, mode)
         kept, temb = cast(kept), cast(temb)
@@ -158,10 +173,10 @@ def capture_target(model, variables, cali_data: Sequence,
         hard_sync(kept)
         subs.append(kept)
         tembs.append(temb)
-    kept = tuple(jnp.concatenate([s[j] for s in subs])
+    kept = tuple(jnp.concatenate([s[j] for s in subs])[:n]
                  for j in range(len(keep)))
     del subs
-    temb = (jnp.concatenate(tembs) if tembs[0] is not None else None)
+    temb = (jnp.concatenate(tembs)[:n] if tembs[0] is not None else None)
     return dict(zip(keep, kept)), temb
 
 
@@ -537,7 +552,7 @@ def _member_cache_bytes(model, variables, cali_data, target: ReconTarget,
 
     shapes = jax.eval_shape(fn, variables, batch)
     itemsize = 2 if args.cache_dtype else 4
-    scale = max(1, n // bs)
+    scale = -(-n // bs)          # ceil: tail chunks count in full
     return int(sum(int(np.prod(s.shape)) * itemsize * scale
                    for s in shapes))
 
@@ -551,18 +566,33 @@ def _split_by_budget(model, variables, cali_data,
     member's caches are built from the first ``row_cap`` calibration rows
     instead — the recon scan draws its minibatches from the cache either
     way, so this only shrinks the sample pool for that target.
+
+    Every member is sized individually: a window-bridged group shares a
+    *static* signature but not necessarily activation shapes (down-level
+    attn vs mid attn), so sizing from the first member alone could blow
+    the budget the cap exists to protect.
     """
-    per = _member_cache_bytes(model, variables, cali_data, grp[0], args)
+    pers = [_member_cache_bytes(model, variables, cali_data, t, args)
+            for t in grp]
     n = cali_data[0].shape[0]
-    if per > args.capture_budget_bytes:
-        frac = args.capture_budget_bytes / per
+    worst = max(pers)
+    if worst > args.capture_budget_bytes:
+        frac = args.capture_budget_bytes / worst
         bs = args.capture_batch_size or n
         row_cap = max(bs, int(n * frac) // bs * bs)
         return [[t] for t in grp], row_cap
-    fit = max(1, args.capture_budget_bytes // max(per, 1))
-    if fit >= len(grp):
-        return [grp], None
-    return [grp[i:i + fit] for i in range(0, len(grp), fit)], None
+    # greedy pack: consecutive members whose summed caches fit the budget
+    subgroups: List[List[ReconTarget]] = []
+    cur: List[ReconTarget] = []
+    cur_bytes = 0
+    for t, p in zip(grp, pers):
+        if cur and cur_bytes + p > args.capture_budget_bytes:
+            subgroups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(t)
+        cur_bytes += p
+    subgroups.append(cur)
+    return subgroups, None
 
 
 def _shape_sig(variables, target: ReconTarget, data: Dict[str, Any]):

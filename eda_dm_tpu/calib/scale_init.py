@@ -54,7 +54,10 @@ def set_act_quantize_params(model, variables, cali_data: Sequence,
     batch_size = min(batch_size, n)
     mode = QuantMode(w_quant=True, a_quant=True, calib_a=True)
     from ..utils.run import hard_sync
-    for i in range(n // batch_size):
+    n_full, rem = divmod(n, batch_size)
+    for i in range(n_full + (1 if rem else 0)):
+        # the tail batch (indivisible n) runs ragged — exact statistics at
+        # the cost of one extra compile; no calibration row is dropped
         batch = tuple(a[i * batch_size:(i + 1) * batch_size]
                       for a in cali_data)
         quant = _calib_step(model, variables, batch, mode)

@@ -122,7 +122,9 @@ def _quantize_act_int8(x: jnp.ndarray, delta: jnp.ndarray,
     shifted by c = L/2 − zp into [−128, 127]; the conv epilogue adds the
     ``c·Σw`` correction back (export_serving_int8 docstring).  Returns
     (int8 codes, c) with ``(codes + c)·Δ`` == the fake-quant value.
+    Requires n_levels ≤ 256 (callers gate on aq.n_bits ≤ 8).
     """
+    assert n_levels <= 256, "int8 act codes require act_bit <= 8"
     xf = x.astype(jnp.float32)
     q = jnp.clip(jnp.round(xf / delta), -zp, n_levels - 1 - zp)
     c = n_levels / 2 - zp
@@ -216,11 +218,13 @@ class QConv(nn.Module):
 
         # --- native int8 serving path (export_serving_int8 weights) -------
         # 8-bit-weight layers (first/last) keep the folded bf16 path: their
-        # centered codes can exceed int8 range
+        # centered codes can exceed int8 range.  Activations must also fit
+        # int8 after the L/2 recentering, i.e. act_bit <= 8 — wider acts
+        # (a supported QuantConfig knob) would silently wrap on the cast.
         if (mode.int8 and mode.a_quant and not mode.calib_a
                 and not mode.w_quant and not mode.training
                 and not mode.capture and not self.disable_act_quant
-                and self.wq.n_bits <= 7):
+                and self.wq.n_bits <= 7 and self.aq.n_bits <= 8):
             return self._int8_forward(x, bias, mode)
 
         # --- fused serving path (Pallas quantize+matmul, 1x1 convs) -------
@@ -394,7 +398,7 @@ class QDense(nn.Module):
         if (mode.int8 and mode.a_quant and not mode.calib_a
                 and not mode.w_quant and not mode.training
                 and not mode.capture and not self.disable_act_quant
-                and self.wq.n_bits <= 7):
+                and self.wq.n_bits <= 7 and self.aq.n_bits <= 8):
             d, zp = ActQuantizer(self.aq, name="act_quantizer")(
                 x, mode, params_only=True)
             w_int = self.variable(

@@ -33,7 +33,12 @@ def dp_calibrate_acts(model, variables, cali_data: Sequence, mesh: Mesh,
     global, so XLA all-reduces them across shards.
     """
     n = cali_data[0].shape[0]
-    bs = batch_size or n
+    bs = min(batch_size or n, n)
+    n_dev = mesh.devices.size
+    if n % n_dev:
+        raise ValueError(
+            f"calibration set size {n} must divide the dp mesh size {n_dev} "
+            f"(shard the batch evenly or trim/pad the calib set explicitly)")
     mode = QuantMode(w_quant=True, a_quant=True, calib_a=True)
     variables = replicate(mesh, variables)
 
@@ -42,9 +47,16 @@ def dp_calibrate_acts(model, variables, cali_data: Sequence, mesh: Mesh,
         _, upd = model.apply(variables, *batch, mode, mutable=["quant"])
         return {**variables, "quant": upd["quant"]}
 
-    for i in range(max(1, n // bs)):
-        batch = shard_batch(mesh, tuple(a[i * bs:(i + 1) * bs]
-                                        for a in cali_data))
+    n_full, rem = divmod(n, bs)
+    for i in range(n_full + (1 if rem else 0)):
+        # tail batch runs ragged (one extra compile) rather than dropping
+        # rows; raggedness must still shard evenly over the mesh
+        rows = tuple(a[i * bs:(i + 1) * bs] for a in cali_data)
+        if rows[0].shape[0] % n_dev:
+            raise ValueError(
+                f"tail batch of {rows[0].shape[0]} rows does not shard over "
+                f"{n_dev} devices; pick batch_size a multiple of mesh size")
+        batch = shard_batch(mesh, rows)
         variables = step(variables, batch)
     return variables
 

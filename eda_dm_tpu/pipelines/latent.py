@@ -96,16 +96,23 @@ class LDMTaskConfig:
 
 
 TASK_DEFAULTS = {
-    # scripts/task_config.py:41-107,109-146,149-197 + for_*.sh recipes
-    "bedroom": dict(custom_steps=200, eta=1.0, lamda=100.0, lr_w=1e-2,
-                    lr_a=5e-3, add_loss=0.001, iters=5000, batch_size=50),
+    # The *active* W4A8 recipe lines of the reference run scripts — these
+    # override the argparse defaults of scripts/task_config.py and are the
+    # hyperparameters the paper's headline numbers use:
+    #   for_bedroom.sh:11-17  (--lamda 1.0 --lr_w 1e-2 --lr_a 5e-3 --add_loss 1.0)
+    #   for_church.sh:11-17   (--lamda 1.0 --lr_w 5e-2 --lr_a 1e-4 --add_loss 1.0)
+    #   for_imagenet.sh:10-16 (--lamda 1.2 --lr_w 5e-1 --lr_a 1e-4 --add_loss 0.8)
+    #   for_coco.sh:11-18     (--lamda 5.0 --lr_w 3e-2 --lr_a 1e-4 --add_loss 0.8)
+    # Pinned against the reference scripts by tests/test_task_recipes.py.
+    "bedroom": dict(custom_steps=200, eta=1.0, lamda=1.0, lr_w=1e-2,
+                    lr_a=5e-3, add_loss=1.0, iters=5000, batch_size=50),
     "church": dict(custom_steps=500, eta=0.0, lamda=1.0, lr_w=5e-2,
                    lr_a=1e-4, add_loss=1.0, iters=5000, batch_size=100),
-    "imagenet": dict(custom_steps=20, eta=0.0, scale=3.0, lamda=0.5,
-                     lr_w=5e-1, lr_a=1e-4, add_loss=1.3, iters=1000,
+    "imagenet": dict(custom_steps=20, eta=0.0, scale=3.0, lamda=1.2,
+                     lr_w=5e-1, lr_a=1e-4, add_loss=0.8, iters=1000,
                      batch_size=50),
     "coco": dict(custom_steps=50, eta=0.0, scale=7.5, sampler="plms",
-                 lamda=50.0, lr_w=3e-2, lr_a=1e-4, add_loss=0.5, iters=1000,
+                 lamda=5.0, lr_w=3e-2, lr_a=1e-4, add_loss=0.8, iters=1000,
                  calib_num_samples=256, batch_samples=8, batch_size=4,
                  n_samples=10000, recon_batch_size=2),
 }

@@ -39,6 +39,10 @@ class QuantizerSpec:
     # bin-center rounding (≤ range/(2·bins) ≈ delta/32 at 8 bits).  Kills
     # the (2·num × N) scoring graph that dominated round-1 scale-init
     # compile + runtime at production shapes (PERF.md: ~310 s).
+    # NOTE: this is a default-on numerics change vs the reference's exact
+    # elementwise scoring (quant_layer.py:163-199) for every activation
+    # tensor past 4·bins elements; set search_bins=0 for reference-exact
+    # scoring (tests/test_search.py bounds the histogram-vs-exact gap).
     search_bins: int = 4096
 
     @property

@@ -227,21 +227,25 @@ def _exact_histogram(x_flat: jnp.ndarray, bins: int):
     def chunk_counts(part):
         xs = jnp.sort(part)
         idx = jnp.searchsorted(xs, edges, side="left")
-        c = jnp.diff(idx).astype(x_flat.dtype)
+        # accumulate in int32: exact per chunk (≤ 256M elements) and across
+        # chunks up to 2^31 elements per bin — a float accumulator would
+        # silently round past 2^24 per bin on billion-element tensors
+        c = jnp.diff(idx).astype(jnp.int32)
         # elements equal to x_max sit past the last 'left' boundary
         return c.at[-1].add(part.shape[-1] - idx[-1])
 
     if size <= _HIST_CHUNK:
         counts = chunk_counts(x_flat)
     else:
-        counts = jnp.zeros((bins,), x_flat.dtype)
+        counts = jnp.zeros((bins,), jnp.int32)
         for start in range(0, size, _HIST_CHUNK):
             end = min(start + _HIST_CHUNK, size)
             counts = counts + chunk_counts(
                 jax.lax.slice_in_dim(x_flat, start, end,
                                      axis=x_flat.ndim - 1))
     centers = 0.5 * (edges[:-1] + edges[1:])
-    return centers, counts, x_min, x_max
+    # scoring weights: int32→f32 relative error ≤ 2^-24, negligible
+    return centers, counts.astype(x_flat.dtype), x_min, x_max
 
 
 def _score_hist(centers: jnp.ndarray, counts: jnp.ndarray,

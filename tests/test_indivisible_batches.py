@@ -1,0 +1,98 @@
+"""No silently dropped calibration rows for n % batch_size != 0.
+
+Round-2 verdict item: capture_target, set_act_quantize_params and
+dp_calibrate_acts all truncated the tail batch.  Capture now pads the tail
+by cyclic repetition (same compiled program) and slices back to n; scale
+init runs the tail ragged (exact stats); the dp path raises explicitly when
+the shape can't shard.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from eda_dm_tpu.models.ddpm_unet import DDPMUNet, DDPMConfig, ddpm_recon_plan
+from eda_dm_tpu.quant.config import QuantConfig, FP, CALIB_W
+from eda_dm_tpu.calib.recon import (ReconArgs, capture_target, FP_CAPTURE,
+                                    _pad_rows)
+from eda_dm_tpu.calib.scale_init import (set_weight_quantize_params,
+                                         set_act_quantize_params)
+
+ARCH = DDPMConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                  attn_resolutions=(8,), resolution=16)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    qc = QuantConfig(weight_bit=4, act_bit=8)
+    model = DDPMUNet(cfg=ARCH, qc=qc)
+    key = jax.random.PRNGKey(0)
+    n = 11                                 # deliberately indivisible
+    x = jax.random.normal(key, (n, 16, 16, 3))
+    t = jnp.linspace(0.0, 90.0, n)
+    variables = model.init(key, x[:1], t[:1], FP)
+    return model, variables, (x, t)
+
+
+def test_pad_rows():
+    a = jnp.arange(10).reshape(5, 2)
+    out = _pad_rows(a, 8)
+    assert out.shape == (8, 2)
+    np.testing.assert_array_equal(out[5:], a[:3])
+    np.testing.assert_array_equal(_pad_rows(a, 3), a[:3])
+    # target beyond 2x input wraps around
+    out = _pad_rows(a[:2], 7)
+    np.testing.assert_array_equal(out[6], a[0])
+
+
+def test_capture_keeps_all_rows(setup):
+    model, variables, cali = setup
+    plan = ddpm_recon_plan(ARCH, model.qc)
+    target = next(t for t in plan if t.kind == "block")
+    keep = (target.path + ("block_in",), target.path + ("block_out",))
+    full, _ = capture_target(model, variables, cali, (), FP_CAPTURE, keep,
+                             batch_size=None)
+    batched, _ = capture_target(model, variables, cali, (), FP_CAPTURE, keep,
+                                batch_size=4)   # 11 = 2*4 + 3 tail
+    for kp in keep:
+        assert batched[kp].shape[0] == 11
+        np.testing.assert_allclose(np.asarray(batched[kp]),
+                                   np.asarray(full[kp]), rtol=1e-5, atol=1e-5)
+
+
+def test_act_scale_init_sees_tail_rows(setup):
+    model, variables, (x, t) = setup
+    variables = set_weight_quantize_params(model, variables, (x, t),
+                                           batch_size=4)
+    # run with a tail (11 = 2*4 + 3) vs explicitly feeding all rows in the
+    # same batch split; the EMA chain must visit the same 3 batches
+    v_tail = set_act_quantize_params(model, variables, (x, t), batch_size=4)
+
+    v_manual = variables
+    from eda_dm_tpu.calib.scale_init import _calib_step
+    from eda_dm_tpu.quant.config import QuantMode
+    mode = QuantMode(w_quant=True, a_quant=True, calib_a=True)
+    for sl in (slice(0, 4), slice(4, 8), slice(8, 11)):
+        quant = _calib_step(model, v_manual, (x[sl], t[sl]), mode)
+        v_manual = {**v_manual, "quant": quant}
+
+    ltail = jax.tree.leaves(v_tail["quant"])
+    lman = jax.tree.leaves(v_manual["quant"])
+    for a, b in zip(ltail, lman):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_dp_calibrate_rejects_unshardable():
+    from eda_dm_tpu.parallel.mesh import make_mesh
+    from eda_dm_tpu.parallel.dp import dp_calibrate_acts
+    qc = QuantConfig()
+    model = DDPMUNet(cfg=ARCH, qc=qc)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (11, 16, 16, 3))   # 11 % 8 != 0
+    t = jnp.zeros((11,))
+    variables = model.init(key, x[:1], t[:1], FP)
+    mesh = make_mesh()
+    with pytest.raises(ValueError, match="must divide"):
+        dp_calibrate_acts(model, variables, (x, t), mesh)
