@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..quant.config import QuantConfig, QuantMode, QuantizerSpec
+from ..ops.int8_einsum import int8_attention_serving, int8_act_einsum
 from ..nn.layers import (QConv, QDense, ActQuantizer, group_norm, swish,
                          timestep_embedding, _sow_reduce)
 
@@ -140,17 +141,39 @@ class AttnBlockD(nn.Module):
         # QuantMode shares one variable treedef — a conditional here made the
         # first calib forward *create* these leaves, forcing a second full
         # compile of the calibration graph on batch 1
-        q = ActQuantizer(self.aq, name="act_quantizer_q")(q, mode)
-        k = ActQuantizer(self.aq, name="act_quantizer_k")(k, mode)
-        w = jnp.einsum("nic,njc->nij", q, k,
-                       preferred_element_type=jnp.float32) * (c ** -0.5)
-        # softmax in f32 for stability; the (n, hw, hw) probability tensor is
-        # materialized in the carrier dtype (half traffic on the bf16 path)
-        w = jax.nn.softmax(w, axis=-1).astype(x.dtype)
-        v = ActQuantizer(self.aq, name="act_quantizer_v")(v, mode)
-        w = ActQuantizer(self.aq_w, name="act_quantizer_w")(w, mode)
-        h = jnp.einsum("nij,njc->nic", w, v,
-                       preferred_element_type=jnp.float32)
+        if int8_attention_serving(mode) and self.aq.n_levels <= 256 \
+                and self.aq_w.n_levels <= 256:
+            # serving: both matmuls run int8×int8→int32 on the MXU with the
+            # exact recentering epilogue (ops/int8_einsum.py); quantizers
+            # contribute their frozen (Δ, zp) only
+            dq, zq = ActQuantizer(self.aq, name="act_quantizer_q")(
+                q, mode, params_only=True)
+            dk, zk = ActQuantizer(self.aq, name="act_quantizer_k")(
+                k, mode, params_only=True)
+            w = int8_act_einsum("nic,njc->nij",
+                                q, (dq, zq, self.aq.n_levels),
+                                k, (dk, zk, self.aq.n_levels)) * (c ** -0.5)
+            w = jax.nn.softmax(w, axis=-1)
+            dv, zv = ActQuantizer(self.aq, name="act_quantizer_v")(
+                v, mode, params_only=True)
+            dw, zw = ActQuantizer(self.aq_w, name="act_quantizer_w")(
+                w, mode, params_only=True)
+            h = int8_act_einsum("nij,njc->nic",
+                                w, (dw, zw, self.aq_w.n_levels),
+                                v, (dv, zv, self.aq.n_levels))
+        else:
+            q = ActQuantizer(self.aq, name="act_quantizer_q")(q, mode)
+            k = ActQuantizer(self.aq, name="act_quantizer_k")(k, mode)
+            w = jnp.einsum("nic,njc->nij", q, k,
+                           preferred_element_type=jnp.float32) * (c ** -0.5)
+            # softmax in f32 for stability; the (n, hw, hw) probability
+            # tensor is materialized in the carrier dtype (half traffic on
+            # the bf16 path)
+            w = jax.nn.softmax(w, axis=-1).astype(x.dtype)
+            v = ActQuantizer(self.aq, name="act_quantizer_v")(v, mode)
+            w = ActQuantizer(self.aq_w, name="act_quantizer_w")(w, mode)
+            h = jnp.einsum("nij,njc->nic", w, v,
+                           preferred_element_type=jnp.float32)
         # keep MXU accumulation in f32 but return to the carrier dtype so a
         # bf16 serving pass is not promoted back to f32 by the residual add
         h = h.astype(x.dtype).reshape(n, hh, ww, c)

@@ -38,6 +38,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..quant.config import QuantConfig, QuantMode, QuantizerSpec
+from ..ops.int8_einsum import int8_attention_serving, int8_act_einsum
 from ..nn.layers import (QConv, QDense, ActQuantizer, group_norm, swish,
                          timestep_embedding, _sow_reduce)
 
@@ -270,17 +271,37 @@ class AttentionBlockL(nn.Module):
         k = k * scale
         # unconditional (no-op outside quant/calib modes): keeps one
         # variable treedef across QuantModes (see ddpm_unet.AttnBlockD note)
-        q = ActQuantizer(self.aq, name="act_quantizer_q")(q, mode)
-        k = ActQuantizer(self.aq, name="act_quantizer_k")(k, mode)
-        w = jnp.einsum("bthc,bshc->bhts", q, k,
-                       preferred_element_type=jnp.float32)
-        # f32 MXU accumulation + f32 softmax; materialize attention tensors
-        # in the carrier dtype (bf16 on the deployment path)
-        w = jax.nn.softmax(w, axis=-1).astype(x.dtype)
-        w = ActQuantizer(self.aq_w, name="act_quantizer_w")(w, mode)
-        v = ActQuantizer(self.aq, name="act_quantizer_v")(v, mode)
-        a = jnp.einsum("bhts,bshc->bthc", w, v,
-                       preferred_element_type=jnp.float32)
+        if int8_attention_serving(mode) and self.aq.n_levels <= 256 \
+                and self.aq_w.n_levels <= 256:
+            # serving: int8×int8→int32 MXU matmuls with exact recentering
+            # epilogues (ops/int8_einsum.py)
+            dq, zq = ActQuantizer(self.aq, name="act_quantizer_q")(
+                q, mode, params_only=True)
+            dk, zk = ActQuantizer(self.aq, name="act_quantizer_k")(
+                k, mode, params_only=True)
+            w = int8_act_einsum("bthc,bshc->bhts",
+                                q, (dq, zq, self.aq.n_levels),
+                                k, (dk, zk, self.aq.n_levels))
+            w = jax.nn.softmax(w, axis=-1)
+            dw, zw = ActQuantizer(self.aq_w, name="act_quantizer_w")(
+                w, mode, params_only=True)
+            dv, zv = ActQuantizer(self.aq, name="act_quantizer_v")(
+                v, mode, params_only=True)
+            a = int8_act_einsum("bhts,bshc->bthc",
+                                w, (dw, zw, self.aq_w.n_levels),
+                                v, (dv, zv, self.aq.n_levels))
+        else:
+            q = ActQuantizer(self.aq, name="act_quantizer_q")(q, mode)
+            k = ActQuantizer(self.aq, name="act_quantizer_k")(k, mode)
+            w = jnp.einsum("bthc,bshc->bhts", q, k,
+                           preferred_element_type=jnp.float32)
+            # f32 MXU accumulation + f32 softmax; materialize attention
+            # tensors in the carrier dtype (bf16 on the deployment path)
+            w = jax.nn.softmax(w, axis=-1).astype(x.dtype)
+            w = ActQuantizer(self.aq_w, name="act_quantizer_w")(w, mode)
+            v = ActQuantizer(self.aq, name="act_quantizer_v")(v, mode)
+            a = jnp.einsum("bhts,bshc->bthc", w, v,
+                           preferred_element_type=jnp.float32)
         a = a.astype(x.dtype).reshape(b, t_len, c)
         h = QDense(c, wq=self.wq, aq=self.aq, name="proj_out")(a, mode)
         out = (xs + h).reshape(b, hh, ww, c)
@@ -322,17 +343,39 @@ class CrossAttentionL(nn.Module):
         k = k.reshape(b, m, self.heads, self.dim_head)
         v = v.reshape(b, m, self.heads, self.dim_head)
         # unconditional (no-op outside quant/calib modes): one treedef
-        q = ActQuantizer(self.aq, name="act_quantizer_q")(q, mode)
-        k = ActQuantizer(self.aq, name="act_quantizer_k")(k, mode)
-        sim = jnp.einsum("bihd,bjhd->bhij", q, k,
-                         preferred_element_type=jnp.float32) \
-            * (self.dim_head ** -0.5)
-        # f32 MXU accumulation + f32 softmax; carrier-dtype materialization
-        attn = jax.nn.softmax(sim, axis=-1).astype(x.dtype)
-        attn = ActQuantizer(self.aq_w, name="act_quantizer_w")(attn, mode)
-        v = ActQuantizer(self.aq, name="act_quantizer_v")(v, mode)
-        out = jnp.einsum("bhij,bjhd->bihd", attn, v,
-                         preferred_element_type=jnp.float32)
+        if int8_attention_serving(mode) and self.aq.n_levels <= 256 \
+                and self.aq_w.n_levels <= 256:
+            # serving: int8×int8→int32 MXU matmuls with exact recentering
+            # epilogues (ops/int8_einsum.py)
+            dq, zq = ActQuantizer(self.aq, name="act_quantizer_q")(
+                q, mode, params_only=True)
+            dk, zk = ActQuantizer(self.aq, name="act_quantizer_k")(
+                k, mode, params_only=True)
+            sim = int8_act_einsum("bihd,bjhd->bhij",
+                                  q, (dq, zq, self.aq.n_levels),
+                                  k, (dk, zk, self.aq.n_levels)) \
+                * (self.dim_head ** -0.5)
+            attn = jax.nn.softmax(sim, axis=-1)
+            dw, zw = ActQuantizer(self.aq_w, name="act_quantizer_w")(
+                attn, mode, params_only=True)
+            dv, zv = ActQuantizer(self.aq, name="act_quantizer_v")(
+                v, mode, params_only=True)
+            out = int8_act_einsum("bhij,bjhd->bihd",
+                                  attn, (dw, zw, self.aq_w.n_levels),
+                                  v, (dv, zv, self.aq.n_levels))
+        else:
+            q = ActQuantizer(self.aq, name="act_quantizer_q")(q, mode)
+            k = ActQuantizer(self.aq, name="act_quantizer_k")(k, mode)
+            sim = jnp.einsum("bihd,bjhd->bhij", q, k,
+                             preferred_element_type=jnp.float32) \
+                * (self.dim_head ** -0.5)
+            # f32 MXU accumulation + f32 softmax; carrier-dtype
+            # materialization
+            attn = jax.nn.softmax(sim, axis=-1).astype(x.dtype)
+            attn = ActQuantizer(self.aq_w, name="act_quantizer_w")(attn, mode)
+            v = ActQuantizer(self.aq, name="act_quantizer_v")(v, mode)
+            out = jnp.einsum("bhij,bjhd->bihd", attn, v,
+                             preferred_element_type=jnp.float32)
         out = out.astype(x.dtype).reshape(b, n, inner)
         return QDense(self.out_dim, wq=self.wq, aq=self.aq,
                       name="to_out_0")(out, mode)
