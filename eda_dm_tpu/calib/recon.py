@@ -228,13 +228,21 @@ def _linear_temp_decay(t, iters: int, warmup: float, b_range):
 
 def _recon_impl(module, has_temb: bool, has_ctx: bool,
                 inner_taps: Tuple[Tuple[str, ...], ...], use_inner: bool,
-                args: ReconArgs, block_params, frozen, train, data, key):
+                args: ReconArgs, mesh, block_params, frozen, train, data,
+                key):
     """The per-target optimization scan (pure; jitted/vmapped by wrappers).
 
     Static args exclude the target's name/path, and flax modules hash by
     field values — so equal block configs with equal data shapes share one
     compiled program across targets (the CIFAR UNet repeats most of its
     block shapes).
+
+    ``mesh``: optional 1-D 'dp' device mesh.  The scan keeps global
+    semantics — the same rows are drawn and the same loss computed — but
+    every minibatch tensor carries a batch-axis sharding constraint, so
+    GSPMD shards the block forward/backward across devices and all-reduces
+    the (mean-loss) gradients, replacing the reference's single-device
+    accumulation (SURVEY §2 preamble / §5 distributed-communication row).
     """
     mode = QuantMode(w_quant=True, a_quant=args.act_quant,
                      soft_targets=args.recon_w, training=True, capture=True)
@@ -284,24 +292,32 @@ def _recon_impl(module, has_temb: bool, has_ctx: bool,
     # minibatches are upcast to f32 when caches are stored at a reduced
     # dtype (ReconArgs.cache_dtype) — free (no-op) on f32 caches
     f32 = lambda a: a.astype(jnp.float32)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        axis = mesh.axis_names[0]
+        shard = lambda a: jax.lax.with_sharding_constraint(
+            a, NamedSharding(mesh, P(axis, *([None] * (a.ndim - 1)))))
+    else:
+        shard = lambda a: a
 
     def step(carry, it):
         train_leaves, opt_state, key = carry
         key, k_idx, k_mix, k_drop = jax.random.split(key, 4)
         idx = jax.random.choice(k_idx, n, (bs,), replace=False)
-        xq = f32(jnp.take(inp_q, idx, axis=0))
-        xs = f32(jnp.take(inp_s, idx, axis=0))
+        xq = shard(f32(jnp.take(inp_q, idx, axis=0)))
+        xs = shard(f32(jnp.take(inp_s, idx, axis=0)))
         if args.input_prob < 1.0:
             m = jax.random.uniform(k_mix, xq.shape) < args.input_prob
             x = jnp.where(m, xq, xs)
         else:
             x = xs                     # reference: cur_inp = cur_sym (:145)
-        temb = (f32(jnp.take(temb_q, idx, axis=0)) if temb_q is not None
-                else dummy)
-        ctx = (f32(jnp.take(ctx_q, idx, axis=0)) if ctx_q is not None
-               else dummy)
-        out_fp = f32(jnp.take(out_fp_all, idx, axis=0))
-        inners = tuple(f32(jnp.take(a, idx, axis=0)) for a in inner_fp)
+        temb = (shard(f32(jnp.take(temb_q, idx, axis=0)))
+                if temb_q is not None else dummy)
+        ctx = (shard(f32(jnp.take(ctx_q, idx, axis=0)))
+               if ctx_q is not None else dummy)
+        out_fp = shard(f32(jnp.take(out_fp_all, idx, axis=0)))
+        inners = tuple(shard(f32(jnp.take(a, idx, axis=0)))
+                       for a in inner_fp)
         loss, grads = jax.value_and_grad(loss_fn)(
             train_leaves, (x, temb, ctx, out_fp, inners), k_drop,
             it.astype(jnp.float32))
@@ -314,18 +330,19 @@ def _recon_impl(module, has_temb: bool, has_ctx: bool,
     return train, losses
 
 
-_recon_scan = partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))(_recon_impl)
+_recon_scan = partial(jax.jit,
+                      static_argnums=(0, 1, 2, 3, 4, 5, 6))(_recon_impl)
 
 
 @lru_cache(maxsize=None)
 def _grouped_scan_fn(module, has_temb: bool, has_ctx: bool,
                      inner_taps: Tuple[Tuple[str, ...], ...], use_inner: bool,
-                     args: ReconArgs):
+                     args: ReconArgs, mesh=None):
     """jit(vmap(...)) of the recon scan over a stacked group of same-shape
     targets.  Cached on the static signature so repeated group shapes share
     one compiled program."""
     impl = partial(_recon_impl, module, has_temb, has_ctx, inner_taps,
-                   use_inner, args)
+                   use_inner, args, mesh)
     return jax.jit(jax.vmap(impl))
 
 
@@ -358,7 +375,7 @@ def _prepare_target(target: ReconTarget, variables: Dict[str, Any],
 
 def reconstruct_target(target: ReconTarget, variables: Dict[str, Any],
                        data: Dict[str, Any], args: ReconArgs,
-                       key: jax.Array) -> Dict[str, Any]:
+                       key: jax.Array, mesh=None) -> Dict[str, Any]:
     """Optimize one target's rounding masks + act scales; return new variables.
 
     ``data`` fields: inp_q, inp_s (captured quant/FP block inputs), out_fp
@@ -372,8 +389,8 @@ def reconstruct_target(target: ReconTarget, variables: Dict[str, Any],
 
     train, losses = _recon_scan(target.module, target.has_temb,
                                 target.has_ctx, target.inner_taps, use_inner,
-                                args, block_params, frozen, train, packed,
-                                key)
+                                args, mesh, block_params, frozen, train,
+                                packed, key)
 
     new_quant_sub = deep_merge(block_quant, train)
     new_quant = set_subtree(variables["quant"], target.path, new_quant_sub)
@@ -383,7 +400,7 @@ def reconstruct_target(target: ReconTarget, variables: Dict[str, Any],
 def reconstruct_group(targets: Sequence[ReconTarget],
                       variables: Dict[str, Any],
                       datas: Sequence[Dict[str, Any]], args: ReconArgs,
-                      key: jax.Array):
+                      key: jax.Array, mesh=None):
     """Optimize several same-signature targets in one vmapped scan.
 
     All members share the static signature (module config, temb/ctx layout,
@@ -413,7 +430,7 @@ def reconstruct_group(targets: Sequence[ReconTarget],
     keys = jax.random.split(key, len(targets))
     t0 = targets[0]
     fn = _grouped_scan_fn(t0.module, t0.has_temb, t0.has_ctx, t0.inner_taps,
-                          prepared[0][5], args)
+                          prepared[0][5], args, mesh)
     train_s, losses = fn(params_s, frozen_s, train_s, packed_s, keys)
 
     for g, (target, prep) in enumerate(zip(targets, prepared)):
@@ -608,7 +625,7 @@ def reconstruct(model, variables: Dict[str, Any], cali_data: Sequence,
                 key: jax.Array,
                 progress: Optional[Callable[[str, float], None]] = None,
                 group_size: int = 1, group_window: int = 0,
-                clear_caches_every: int = 0):
+                clear_caches_every: int = 0, mesh=None):
     """Sequential block/layer reconstruction over the plan
     (recon_block_Qmodel.recon, qdiff/recon_block_Qmodel.py:18-94).
 
@@ -647,6 +664,12 @@ def reconstruct(model, variables: Dict[str, Any], cali_data: Sequence,
         else:
             grp_cali = cali_data
         datas = build_group_data(model, variables, grp_cali, grp, args)
+        if mesh is not None:
+            # distribute the activation caches' rows over the mesh (each
+            # device holds n/n_dev rows; the scan's row gathers and the
+            # sharded minibatch compute ride GSPMD collectives)
+            from ..parallel.mesh import shard_batch
+            datas = [shard_batch(mesh, d) for d in datas]
 
         # same signature can still stack differently (e.g. inferred input
         # widths) — split into runs of identical leaf shapes
@@ -663,11 +686,13 @@ def reconstruct(model, variables: Dict[str, Any], cali_data: Sequence,
             members = [grp[i] for i in idxs]
             if len(members) == 1:
                 variables, losses = reconstruct_target(
-                    members[0], variables, datas[idxs[0]], args, sub)
+                    members[0], variables, datas[idxs[0]], args, sub,
+                    mesh=mesh)
                 losses_list = [losses]
             else:
                 variables, losses_list = reconstruct_group(
-                    members, variables, [datas[i] for i in idxs], args, sub)
+                    members, variables, [datas[i] for i in idxs], args, sub,
+                    mesh=mesh)
             # release this run's activation caches before the next capture
             # (high-res up-level caches are multi-GB at batch 1024); temb
             # buffers are tiny and shared across the group's members, so

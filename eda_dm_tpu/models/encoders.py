@@ -234,3 +234,37 @@ class TinyTextEncoder:
 
     def encode(self, prompts: Sequence[str]) -> jnp.ndarray:
         return self._fn(self.params, jnp.asarray(self.tokenize(prompts)))
+
+
+class BERTTextEncoder:
+    """BERTEmbedder wrapped behind the same ``encode(prompts)`` interface
+    as FrozenCLIP/TinyTextEncoder (hash tokenization, no vocab files).
+
+    The reference's BERTEmbedder path (modules.py:80-103) tokenizes with an
+    optional HF BERTTokenizer; in weightless environments this wrapper
+    substitutes crc32 hash ids so the full-size BERT context stack can run
+    end-to-end.  Pass ``params`` converted from a torch checkpoint
+    (bert_state_dict_to_params) for real-weights use with your own ids.
+    """
+
+    def __init__(self, context_dim: int = 1280, n_layer: int = 32,
+                 max_length: int = 77, seed: int = 0, params=None):
+        self.max_length = max_length
+        self.module = BERTEmbedder(n_embed=context_dim, n_layer=n_layer,
+                                   max_seq_len=max_length)
+        ids = jnp.zeros((1, max_length), jnp.int32)
+        self.params = params or self.module.init(jax.random.PRNGKey(seed),
+                                                 ids)
+        self._fn = jax.jit(lambda p, i: self.module.apply(p, i))
+
+    def tokenize(self, prompts: Sequence[str]) -> np.ndarray:
+        import zlib
+        out = np.zeros((len(prompts), self.max_length), np.int32)
+        for r, p in enumerate(prompts):
+            toks = [zlib.crc32(w.encode()) % 30520 + 2
+                    for w in p.lower().split()][: self.max_length - 2]
+            out[r] = [1] + toks + [0] * (self.max_length - 1 - len(toks))
+        return out
+
+    def encode(self, prompts: Sequence[str]) -> jnp.ndarray:
+        return self._fn(self.params, jnp.asarray(self.tokenize(prompts)))

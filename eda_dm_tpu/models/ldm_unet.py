@@ -192,6 +192,11 @@ class ResBlockL(nn.Module):
     updown: str = ""                  # '', 'up', 'down'
     split: int = 0
     use_conv_skip: bool = False
+    # override for the registration-last act quantizer (skip conv) — the
+    # "second-to-last act quantizer → 8-bit" policy lands here when this
+    # ResBlock is the last item of the last output block
+    # (quant_model.py:87-88; see LDMUNet.setup)
+    aq_last: Optional[QuantizerSpec] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray,
@@ -221,12 +226,13 @@ class ResBlockL(nn.Module):
         h = QConv(self.out_ch, (3, 3), wq=self.wq, aq=self.aq,
                   name="out_layers_3")(h, mode)
         if in_ch != self.out_ch:
+            aq_skip = self.aq_last or self.aq
             if self.use_conv_skip:
-                x = QConv(self.out_ch, (3, 3), wq=self.wq, aq=self.aq,
+                x = QConv(self.out_ch, (3, 3), wq=self.wq, aq=aq_skip,
                           name="skip_connection")(x, mode)
             else:
                 x = QConv(self.out_ch, (1, 1), padding="VALID", wq=self.wq,
-                          aq=self.aq, split=self.split,
+                          aq=aq_skip, split=self.split,
                           name="skip_connection")(x, mode)
         out = x + h
         if mode.capture:
@@ -252,6 +258,8 @@ class AttentionBlockL(nn.Module):
     wq: QuantizerSpec
     aq: QuantizerSpec
     aq_w: QuantizerSpec
+    # registration-last act quantizer (proj_out) override — see ResBlockL
+    aq_last: Optional[QuantizerSpec] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mode: QuantMode) -> jnp.ndarray:
@@ -303,7 +311,8 @@ class AttentionBlockL(nn.Module):
             a = jnp.einsum("bhts,bshc->bthc", w, v,
                            preferred_element_type=jnp.float32)
         a = a.astype(x.dtype).reshape(b, t_len, c)
-        h = QDense(c, wq=self.wq, aq=self.aq, name="proj_out")(a, mode)
+        h = QDense(c, wq=self.wq, aq=self.aq_last or self.aq,
+                   name="proj_out")(a, mode)
         out = (xs + h).reshape(b, hh, ww, c)
         if mode.capture:
             self.sow("taps", "block_out", out, reduce_fn=_sow_reduce)
@@ -449,6 +458,8 @@ class SpatialTransformerL(nn.Module):
     wq: QuantizerSpec
     aq: QuantizerSpec
     aq_w: QuantizerSpec
+    # registration-last act quantizer (proj_out) override — see ResBlockL
+    aq_last: Optional[QuantizerSpec] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray],
@@ -468,8 +479,8 @@ class SpatialTransformerL(nn.Module):
                 self.heads, self.dim_head, inner, self.wq, self.aq, self.aq_w,
                 name=f"transformer_blocks_{d}")(h, context, mode)
         h = h.reshape(b, hh, ww, inner)
-        h = QConv(c, (1, 1), padding="VALID", wq=self.wq, aq=self.aq,
-                  name="proj_out")(h, mode)
+        h = QConv(c, (1, 1), padding="VALID", wq=self.wq,
+                  aq=self.aq_last or self.aq, name="proj_out")(h, mode)
         return x + h
 
 
@@ -523,36 +534,40 @@ class LDMUNet(nn.Module):
         if cfg.num_classes is not None:
             self.label_emb = nn.Embed(cfg.num_classes, cfg.time_embed_dim)
 
-        def make(it: LayerItem):
+        def make(it: LayerItem, aq_last: Optional[QuantizerSpec] = None):
             if it.kind == "conv":
                 return QConv(cfg.model_channels, (3, 3), wq=wq, aq=aq)
             if it.kind == "res":
                 return ResBlockL(it.out_ch, wq, aq,
                                  use_scale_shift_norm=cfg.use_scale_shift_norm,
-                                 updown=it.updown, split=it.split)
+                                 updown=it.updown, split=it.split,
+                                 aq_last=aq_last)
             if it.kind == "attn":
-                return AttentionBlockL(it.heads, wq, aq, aq_w_attn)
+                return AttentionBlockL(it.heads, wq, aq, aq_w_attn,
+                                       aq_last=aq_last)
             if it.kind == "tx":
                 return SpatialTransformerL(it.heads, it.dim_head,
                                            cfg.transformer_depth, wq, aq,
-                                           aq_w_tx)
+                                           aq_w_tx, aq_last=aq_last)
             if it.kind == "down":
                 return DownsampleL(wq, aq)
             if it.kind == "up":
-                return UpsampleL(wq, aq)
+                return UpsampleL(wq, aq, aq_override=aq_last)
             raise ValueError(it.kind)
 
-        # second-to-last registered act quantizer → 8 bit: registration-last
-        # QuantModule before out.2 is the last item of the last output block
-        # (quant_model.py:87-88).  With act_bit=8 this is a no-op; applied for
-        # parity via aq.with_bits(8) on that final item when it is an
-        # upsample conv, mirroring the CIFAR case — other kinds already carry
-        # multiple quantizers where the -2 index lands on an 8-bit-default
-        # act quantizer, so no override is needed.
+        # second-to-last registered act quantizer → 8 bit
+        # (quant_model.py:87-88): in named_modules order the last act
+        # quantizer is out.2's, and the one before it is the
+        # registration-last QuantModule of the *last output-block item*
+        # (skip conv of a ResBlock / proj_out of attn and transformer
+        # blocks).  A no-op at act_bit=8; real at narrower act widths.
+        last_key = self.layout.output_blocks[-1].key
+        aq_m2 = aq.with_bits(8)
         self.input_blocks = {it.key: make(it) for it in self.layout.input_blocks}
         self.middle_block = {it.key: make(it) for it in self.layout.middle_block}
-        self.output_blocks = {it.key: make(it)
-                              for it in self.layout.output_blocks}
+        self.output_blocks = {
+            it.key: make(it, aq_last=aq_m2 if it.key == last_key else None)
+            for it in self.layout.output_blocks}
         self.out = {
             "0": nn.GroupNorm(num_groups=32, epsilon=1e-6),
             "2": QConv(cfg.out_channels, (3, 3), wq=wq.with_bits(8), aq=aq,

@@ -66,6 +66,10 @@ class ActQuantizer(nn.Module):
                                  lambda: jnp.zeros((), jnp.int32))
         inited = self.variable("quant", "inited",
                                lambda: jnp.zeros((), jnp.bool_))
+        # record the (possibly policy-overridden) act width so deployment
+        # and the first/last/−2-policy tests can inspect it
+        self.variable("quant", "a_bits",
+                      lambda: jnp.asarray(self.spec.n_bits, jnp.int32))
 
         if params_only:
             # fused serving kernels apply (delta, zp) inside the matmul tile

@@ -66,3 +66,30 @@ def dp_sample(sample_fn, variables, x_T, key, mesh: Mesh):
     variables = replicate(mesh, variables)
     x_T = shard_batch(mesh, x_T)
     return jax.jit(sample_fn)(variables, x_T, key)
+
+
+def dp_reconstruct(model, variables, cali_data: Sequence, plan, args,
+                   key, mesh: Mesh, **kw):
+    """Data-parallel AdaRound/FBR reconstruction over the plan.
+
+    Same global semantics as the single-device path — identical RNG streams
+    draw identical minibatch rows and QDrop masks — but the activation
+    caches are row-sharded over the mesh, the per-iteration block
+    forward/backward is batch-sharded via in-scan sharding constraints, and
+    the mean-loss gradients all-reduce over ``dp``
+    (calib/recon.py::_recon_impl).  Results match the single-device run up
+    to f32 reduction-order error.
+
+    ``args.batch_size`` must divide the mesh size so each device computes an
+    equal minibatch shard.
+    """
+    from ..calib.recon import reconstruct
+    n_dev = mesh.devices.size
+    if args.batch_size % n_dev:
+        raise ValueError(
+            f"recon batch_size {args.batch_size} must divide the dp mesh "
+            f"size {n_dev}")
+    variables = replicate(mesh, variables)
+    cali_data = shard_batch(mesh, tuple(cali_data))
+    return reconstruct(model, variables, cali_data, plan, args, key,
+                       mesh=mesh, **kw)

@@ -104,17 +104,22 @@ TASK_DEFAULTS = {
     #   for_imagenet.sh:10-16 (--lamda 1.2 --lr_w 5e-1 --lr_a 1e-4 --add_loss 0.8)
     #   for_coco.sh:11-18     (--lamda 5.0 --lr_w 3e-2 --lr_a 1e-4 --add_loss 0.8)
     # Pinned against the reference scripts by tests/test_task_recipes.py.
+    # cache_dtype: 64×64-latent tasks default to bf16 activation caches —
+    # measured f32 caches alone exceed the 16 GB chip at calib 1024
+    # (PERF.md); church's 32² latents fit in f32.
     "bedroom": dict(custom_steps=200, eta=1.0, lamda=1.0, lr_w=1e-2,
-                    lr_a=5e-3, add_loss=1.0, iters=5000, batch_size=50),
+                    lr_a=5e-3, add_loss=1.0, iters=5000, batch_size=50,
+                    cache_dtype="bfloat16"),
     "church": dict(custom_steps=500, eta=0.0, lamda=1.0, lr_w=5e-2,
                    lr_a=1e-4, add_loss=1.0, iters=5000, batch_size=100),
     "imagenet": dict(custom_steps=20, eta=0.0, scale=3.0, lamda=1.2,
                      lr_w=5e-1, lr_a=1e-4, add_loss=0.8, iters=1000,
-                     batch_size=50),
+                     batch_size=50, cache_dtype="bfloat16"),
     "coco": dict(custom_steps=50, eta=0.0, scale=7.5, sampler="plms",
                  lamda=5.0, lr_w=3e-2, lr_a=1e-4, add_loss=0.8, iters=1000,
                  calib_num_samples=256, batch_samples=8, batch_size=4,
-                 n_samples=10000, recon_batch_size=2),
+                 n_samples=10000, recon_batch_size=2,
+                 cache_dtype="bfloat16"),
 }
 
 MODEL_CONFIGS = {
@@ -431,8 +436,19 @@ class LDMPipeline:
                     rows(uncond, img_id, bs) if uncond is not None else None)
         return context_fn
 
+    def serving_variables(self, variables, serve: str = "waq"):
+        """Deployment export of the quantized UNet: returns (variables,
+        serve_mode).  serve='waq' keeps the fake-quant tree (mode WAQ);
+        'int8'/'bf16'/'fold' run quant/export with the paired mode."""
+        if serve == "waq":
+            return variables, WAQ
+        from ..api import export_for_serving
+        unet_vars, mode = export_for_serving(variables["unet"], self.qc,
+                                             kind=serve)
+        return {**variables, "unet": unet_vars}, mode
+
     def run(self, out_dir: Optional[str] = None, variables=None,
-            context=None, uncond=None, progress=None):
+            context=None, uncond=None, progress=None, serve: str = "waq"):
         key = self.root_key
         if variables is None:
             variables = self.init_variables()
@@ -444,7 +460,8 @@ class LDMPipeline:
         if self.cfg.recon:
             variables = self.reconstruct(variables, cali_data, k_recon,
                                          progress=progress)
+        serving, mode = self.serving_variables(variables, serve)
         images = self.sample_fid(
-            variables, out_dir=out_dir,
+            serving, out_dir=out_dir, mode=mode,
             context_fn=self.make_context_fn(context, uncond))
         return variables, images

@@ -44,6 +44,11 @@ def main():
     ap.add_argument("--quick-calib", action="store_true",
                     help="tiny-batch quant-state init instead of TDAC + "
                          "full scale init (throughput/memory rows only)")
+    ap.add_argument("--serve", default="waq",
+                    choices=["waq", "int8", "bf16"],
+                    help="sampling path: fake-quant WAQ, native-int8 export "
+                         "(DEPLOY_INT8: int8 convs/matmuls + int8 attention "
+                         "einsums), or bf16 folded")
     ap.add_argument("--phase", default="all",
                     choices=["all", "calib", "recon", "sample"],
                     help="run one phase per process: compiled TPU programs "
@@ -186,18 +191,22 @@ def main():
     if context is not None:
         ctx_b = context[:cfg.batch_size]
         unc_b = uncond[:cfg.batch_size]
+    serving, serve_mode = pipe.serving_variables(variables, args.serve)
     t0 = time.perf_counter()
-    imgs = pipe.sample_batch(variables, jax.random.PRNGKey(2),
-                             context=ctx_b, uncond=unc_b)
-    jax.block_until_ready(imgs)
+    imgs = pipe.sample_batch(serving, jax.random.PRNGKey(2),
+                             context=ctx_b, uncond=unc_b, mode=serve_mode)
+    # real readback: relay block_until_ready can return early (PERF.md)
+    float(jnp.sum(imgs.astype(jnp.float32)))
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     for i in range(args.sample_batches):
-        imgs = pipe.sample_batch(variables, jax.random.PRNGKey(3 + i),
-                                 context=ctx_b, uncond=unc_b)
-    jax.block_until_ready(imgs)
+        imgs = pipe.sample_batch(serving, jax.random.PRNGKey(3 + i),
+                                 context=ctx_b, uncond=unc_b,
+                                 mode=serve_mode)
+    float(jnp.sum(imgs.astype(jnp.float32)))
     dt = (time.perf_counter() - t0) / args.sample_batches
-    print(f"sampling: batch {cfg.batch_size} x {cfg.custom_steps} steps "
+    print(f"sampling[serve={args.serve}]: batch {cfg.batch_size} x "
+          f"{cfg.custom_steps} steps "
           f"+ VAE decode -> {imgs.shape} | first {compile_s:.0f}s, warm "
           f"{dt:.1f}s/batch = {cfg.batch_size / dt:.2f} img/s, "
           f"{dt / cfg.custom_steps * 1e3:.1f} ms/denoise-step", flush=True)

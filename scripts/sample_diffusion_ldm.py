@@ -5,8 +5,19 @@ CLI mirror of the reference's four LDM scripts
 (/root/reference/scripts/sample_diffusion_ldm_{bedroom,church,imagenet}.py,
 sample_txt2img.py; flags from task_config.py:41-197), unified behind
 ``--task``.  Conditional tasks build their contexts here (class labels with
-the 1000 uncond token for imagenet; text prompts via a local CLIP checkpoint
+the 1000 uncond token for imagenet; text prompts via ``--text_encoder``
 for coco) and hand them to eda_dm_tpu.pipelines.latent.LDMPipeline.
+
+Production knobs (all reachable without the perf driver):
+  --cache_dtype / --capture_budget_bytes / --recon_group_size /
+  --recon_group_window / --clear_caches_every  — recon memory controls
+  (64×64-latent tasks default to bf16 caches; see PERF.md).
+  --phase {all,calib,recon,sample}  — one phase per process with quant-state
+  + calib-set handoff via --state_dir: compiled TPU programs stay resident
+  per process and a full pipeline's programs can exhaust device memory on
+  the largest models (PERF.md "relay execution semantics").
+  --serve {waq,int8,bf16}  — sampling path: fake-quant, native-int8 export
+  (fastest measured), or bf16 folded.
 """
 
 import argparse
@@ -44,11 +55,61 @@ def get_parser():
     p.add_argument("--add_loss", type=float, default=None)
     p.add_argument("--dpm", action="store_true", default=False,
                    help="sample with multistep DPM-Solver++ instead of DDIM")
+    # --- production memory / orchestration knobs -------------------------
+    p.add_argument("--cache_dtype", type=str, default=None,
+                   choices=["float32", "bfloat16"],
+                   help="recon activation-cache dtype (task default: bf16 "
+                        "for 64x64-latent tasks, f32 otherwise)")
+    p.add_argument("--capture_budget_bytes", type=float, default=None,
+                   help="cap on a recon group's summed cache bytes")
+    p.add_argument("--recon_group_size", type=int, default=None,
+                   help="same-shape targets per vmapped recon scan "
+                        "(1 = reference-exact sequential order)")
+    p.add_argument("--recon_group_window", type=int, default=None)
+    p.add_argument("--clear_caches_every", type=int, default=None,
+                   help="drop jit executable caches every N recon groups")
+    p.add_argument("--phase", default="all",
+                   choices=["all", "calib", "recon", "sample"],
+                   help="run one pipeline phase per process (state handoff "
+                        "in --state_dir); 'all' runs everything in-process")
+    p.add_argument("--state_dir", type=str, default=None,
+                   help="phase-handoff dir (default <logdir>/state)")
+    p.add_argument("--serve", default="waq",
+                   choices=["waq", "int8", "bf16"],
+                   help="sampling path: fake-quant / native-int8 export / "
+                        "bf16 folded")
+    # --- conditioning ----------------------------------------------------
+    p.add_argument("--text_encoder", default="clip",
+                   choices=["clip", "bert", "tiny"],
+                   help="coco text encoder: local CLIP weights, the BERT "
+                        "encoder, or the weightless TinyTextEncoder "
+                        "(structure-only runs)")
     p.add_argument("--clip_path", type=str,
                    default="openai/clip-vit-large-patch14")
     p.add_argument("--prompts_file", type=str, default=None,
                    help="text prompts (one per line) for the coco task")
     return p
+
+
+def build_coco_context(args, pipe, n):
+    """Prompt embeddings for the coco task via the selected encoder."""
+    if args.prompts_file:
+        with open(args.prompts_file) as f:
+            prompts = [l.strip() for l in f if l.strip()]
+    else:
+        prompts = [f"a photo, sample {i}" for i in range(n)]
+    prompts = (prompts * (-(-n // len(prompts))))[:n]
+    if args.text_encoder == "clip":
+        from eda_dm_tpu.models.encoders import FrozenCLIPTextEncoder
+        enc = FrozenCLIPTextEncoder(args.clip_path)
+    elif args.text_encoder == "bert":
+        from eda_dm_tpu.models.encoders import BERTTextEncoder
+        enc = BERTTextEncoder(context_dim=pipe.mc.unet.context_dim,
+                              n_layer=4)    # weightless: depth is cosmetic
+    else:
+        from eda_dm_tpu.models.encoders import TinyTextEncoder
+        enc = TinyTextEncoder(context_dim=pipe.mc.unet.context_dim)
+    return enc.encode(prompts), enc.encode([""] * n)
 
 
 def main():
@@ -65,8 +126,14 @@ def main():
     overrides = {k: v for k, v in vars(args).items()
                  if k in ("custom_steps", "eta", "scale", "n_samples",
                           "batch_size", "calib_num_samples", "batch_samples",
-                          "lamda", "iters", "lr_w", "lr_a", "add_loss")
+                          "lamda", "iters", "lr_w", "lr_a", "add_loss",
+                          "cache_dtype", "recon_group_size",
+                          "recon_group_window")
                  and v is not None}
+    if args.capture_budget_bytes is not None:
+        overrides["capture_budget_bytes"] = int(args.capture_budget_bytes)
+    if args.clear_caches_every is not None:
+        overrides["recon_clear_caches_every"] = args.clear_caches_every
     overrides.update(weight_bit=args.weight_bit, act_bit=args.act_bit,
                      sm_abit=args.sm_abit, a_sym=args.a_sym,
                      split=args.split, seed=args.seed,
@@ -87,7 +154,7 @@ def main():
     if args.task == "imagenet":
         # shuffled uniform 1000-class labels; uncond token = 1000
         # (sample_diffusion_ldm_imagenet.py:131-139,219-226)
-        n = cfg.batch_samples
+        n = max(cfg.batch_samples, cfg.calib_num_samples)
         rng = np.random.RandomState(args.seed)
         labels = rng.permutation(np.repeat(np.arange(1000),
                                            -(-n // 1000)))[:n]
@@ -96,19 +163,56 @@ def main():
         uncond = pipe.ld.get_learned_conditioning(
             variables["cond_stage"], jnp.full((n,), 1000))
     elif args.task == "coco":
-        from eda_dm_tpu.models.encoders import FrozenCLIPTextEncoder
-        enc = FrozenCLIPTextEncoder(args.clip_path)
-        with open(args.prompts_file) as f:
-            prompts = [l.strip() for l in f if l.strip()]
-        prompts = (prompts * (-(-cfg.batch_samples // len(prompts)))
-                   )[:cfg.batch_samples]
-        context = enc.encode(prompts)
-        uncond = enc.encode([""] * cfg.batch_samples)
+        n = max(cfg.batch_samples, cfg.calib_num_samples)
+        context, uncond = build_coco_context(args, pipe, n)
 
     img_dir = os.path.join(run_dir, "img")
     progress = lambda name, loss: log.info("recon %s loss %.5f", name, loss)
-    pipe.run(out_dir=img_dir, variables=variables, context=context,
-             uncond=uncond, progress=progress)
+
+    if args.phase == "all":
+        pipe.run(out_dir=img_dir, variables=variables, context=context,
+                 uncond=uncond, progress=progress, serve=args.serve)
+        log.info("done; images in %s", img_dir)
+        return
+
+    # --- phase-split orchestration (one phase per process) ---------------
+    from eda_dm_tpu.utils.checkpointing import (save_quant_state,
+                                                load_quant_state)
+    state_dir = args.state_dir or os.path.join(
+        args.logdir or f"result/{args.task}", "state")
+    os.makedirs(state_dir, exist_ok=True)
+    qs_path = os.path.join(state_dir, "quant_state")
+    cali_path = os.path.join(state_dir, "cali.npz")
+    key = jax.random.PRNGKey(cfg.seed)
+
+    if args.phase == "calib":
+        k_tdac = jax.random.fold_in(key, 1)
+        sel = pipe.tdac_calibration(variables, k_tdac, context=context,
+                                    uncond=uncond)
+        cali = pipe.build_cali_data(sel, context=context, uncond=uncond)
+        variables = pipe.calibrate(variables, cali)
+        save_quant_state(qs_path, variables["unet"])
+        np.savez(cali_path, **{f"a{i}": np.asarray(a)
+                               for i, a in enumerate(cali)})
+        log.info("phase=calib complete; state in %s", state_dir)
+        return
+
+    variables = {**variables,
+                 "unet": load_quant_state(qs_path, variables["unet"])}
+    if args.phase == "recon":
+        data = np.load(cali_path)
+        cali = tuple(jnp.asarray(data[k]) for k in sorted(data.files))
+        k_recon = jax.random.fold_in(key, 2)
+        variables = pipe.reconstruct(variables, cali, k_recon,
+                                     progress=progress)
+        save_quant_state(qs_path, variables["unet"])
+        log.info("phase=recon complete; state in %s", state_dir)
+        return
+
+    # phase == sample
+    serving, mode = pipe.serving_variables(variables, args.serve)
+    pipe.sample_fid(serving, out_dir=img_dir, mode=mode,
+                    context_fn=pipe.make_context_fn(context, uncond))
     log.info("done; images in %s", img_dir)
 
 

