@@ -57,16 +57,25 @@ def main():
     serving8 = export_serving_int8(variables, qc)
     x16 = x.astype(jnp.bfloat16)
 
-    def bench_mode(vs, xx, mode, iters=10):
-        fn = jax.jit(
-            lambda v, x, t: jnp.sum(model.apply(v, x, t, mode)
-                                    .astype(jnp.float32)))
+    def bench_mode(vs, xx, mode, k=20, reps=3):
+        # chained lax.scan: each UNet forward feeds the next, all inside one
+        # jit — the shape of real serving (the FID sampler is a scan,
+        # samplers/ddim.py) with zero dispatch overhead.  The relay's
+        # block_until_ready can return early, so throughput is taken over a
+        # forced scalar readback.
+        def scan_fn(v, x0, tt):
+            def body(c, _):
+                out = model.apply(v, c, tt, mode)
+                return (c + 0.001 * out.astype(c.dtype)), ()
+            c, _ = jax.lax.scan(body, x0, None, length=k)
+            return jnp.sum(c.astype(jnp.float32))
+        fn = jax.jit(scan_fn)
         float(fn(vs, xx, t))                              # compile + sync
         t0 = time.perf_counter()
-        for _ in range(iters):
+        for _ in range(reps):
             out = fn(vs, xx, t)
         float(out)                                        # forced readback
-        return iters / (time.perf_counter() - t0)
+        return reps * k / (time.perf_counter() - t0)
 
     q_sps = bench_mode(serving, x16, DEPLOY)
     q8_sps = bench_mode(serving8, x16, DEPLOY_INT8)
@@ -74,7 +83,8 @@ def main():
     best = max(q_sps, q8_sps)
 
     print(json.dumps({
-        "metric": "W4A8 UNet denoise steps/sec/chip (batch 500, CIFAR arch; "
+        "metric": "W4A8 UNet denoise steps/sec/chip, scan-fused serving "
+                  "(batch 500, CIFAR arch; "
                   f"bf16 {round(q_sps, 2)} / int8 {round(q8_sps, 2)} / "
                   f"fp32 {round(fp_sps, 2)})",
         "value": round(best, 3),

@@ -96,6 +96,13 @@ class ReconArgs:
     # 64x64-latent res blocks at calib 1024 needs ~36 GB).  Estimated via
     # eval_shape before any capture runs.
     capture_budget_bytes: int = 6_000_000_000
+    # share ONE capture executable per mode across the whole plan (the
+    # jitted program returns every plan target's taps; each group selects
+    # its subset outside the jit).  Cold capture compiles dominated
+    # production recon (PERF.md); sharing trades them for the un-DCE'd
+    # model suffix per capture batch.  False = per-group programs with
+    # full suffix/tap DCE (round-2 behaviour, minimal transient memory).
+    shared_capture: bool = True
 
 
 # --------------------------------------------------------------------------
@@ -117,20 +124,26 @@ def quant_capture_mode(act_quant: bool) -> QuantMode:
     return QuantMode(w_quant=True, a_quant=act_quant, capture=True)
 
 
-@partial(jax.jit, static_argnums=(0, 3, 4, 5))
+@partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
 def _capture_batch(model, variables, batch, path: Tuple[str, ...],
-                   keep: Tuple[Tuple[str, ...], ...], mode: QuantMode):
+                   keep: Tuple[Tuple[str, ...], ...], mode: QuantMode,
+                   cast_dtype: Optional[str] = None):
     """Run the model, return only the ``keep`` tap leaves (+ temb).
 
     Selecting individual leaves inside the jit lets XLA dead-code-eliminate
     both the suffix of the network (the reference's StopForwardException,
     data_utils.py:78-104) and the unused taps — at high resolutions the
-    unselected 'in' taps alone are multiple GB per capture.
+    unselected 'in' taps alone are multiple GB per capture.  ``cast_dtype``
+    (e.g. bf16) is applied *inside* the program so the f32 tap buffers are
+    never materialized as outputs.
     """
     _, taps = model.apply(variables, *batch, mode=mode, mutable=["taps"])
     sub = get_subtree(taps["taps"], path)
     kept = tuple(get_subtree(sub, kp) for kp in keep)
     temb = taps["taps"].get("temb")
+    if cast_dtype:
+        kept = jax.tree.map(lambda a: a.astype(cast_dtype), kept)
+        temb = temb.astype(cast_dtype) if temb is not None else None
     return kept, temb
 
 
@@ -138,21 +151,32 @@ def capture_target(model, variables, cali_data: Sequence,
                    path: Tuple[str, ...],
                    mode: QuantMode, keep: Tuple[Tuple[str, ...], ...],
                    batch_size: Optional[int] = None,
-                   cache_dtype: Optional[str] = None):
+                   cache_dtype: Optional[str] = None,
+                   keep_universe: Optional[Tuple[Tuple[str, ...], ...]]
+                   = None):
     """Capture selected taps (paths relative to ``path``) over the
     calibration set, batched; optionally stored at ``cache_dtype``.
+
+    ``keep_universe``: when given (a superset of ``keep``, identical for
+    every call in a reconstruction run) the jitted program returns the
+    *universe* and the subset is selected outside — so every group in a
+    plan shares ONE compiled capture program per mode instead of one per
+    group (cold capture compiles dominated production recon wall-clock,
+    PERF.md round 2).  Costs the un-DCE'd model suffix per batch and the
+    unselected taps' transient memory, both bounded by the batch size.
 
     Returns (dict keyed by keep-path, temb).
     """
     n = cali_data[0].shape[0]
     bs = min(batch_size or n, n)
-    cast = (lambda t: jax.tree.map(
-        lambda a: a.astype(cache_dtype) if a is not None else a, t)) \
-        if cache_dtype else (lambda t: t)
+    run_keep = keep_universe if keep_universe is not None else keep
+    if keep_universe is not None:
+        sel = [keep_universe.index(kp) for kp in keep]
     subs, tembs = [], []
     import os as _os
     if _os.environ.get("EDA_DEBUG_CAPTURE"):
         print(f"    [capture] keep[0]={keep[0]} n={n} bs={bs} "
+              f"universe={len(run_keep)} "
               f"mode=(w={mode.w_quant},a={mode.a_quant})", flush=True)
     n_full, rem = divmod(n, bs)
     for i in range(n_full + (1 if rem else 0)):
@@ -164,8 +188,9 @@ def capture_target(model, variables, cali_data: Sequence,
             # silently lost for indivisible n.)
             batch = tuple(_pad_rows(a, bs) for a in batch)
         kept, temb = _capture_batch(model, variables, batch, path,
-                                    keep, mode)
-        kept, temb = cast(kept), cast(temb)
+                                    run_keep, mode, cache_dtype)
+        if keep_universe is not None:
+            kept = tuple(kept[j] for j in sel)
         # serialize chunks with a real readback: relay-attached devices can
         # otherwise pile up concurrent executions whose transients OOM
         # (utils/run.py::hard_sync)
@@ -464,7 +489,9 @@ def _keep_paths(target: ReconTarget):
 
 def build_group_data(model, variables, cali_data,
                      targets: Sequence[ReconTarget],
-                     args: ReconArgs) -> List[Dict[str, Any]]:
+                     args: ReconArgs,
+                     universe: Optional[Tuple[Tuple, Tuple]] = None
+                     ) -> List[Dict[str, Any]]:
     """FP + quantized captures for a group of targets in two model forwards
     (save_inp_oup_data equivalent, data_utils.py:7-75).
 
@@ -479,14 +506,17 @@ def build_group_data(model, variables, cali_data,
         fp_abs += [t.path + kp for kp in fp_keep]
         q_abs += [t.path + kp for kp in q_keep]
 
+    fp_univ, q_univ = universe if universe is not None else (None, None)
     fp_sub, fp_temb = capture_target(model, variables, cali_data, (),
                                      FP_CAPTURE, tuple(fp_abs),
                                      args.capture_batch_size,
-                                     args.cache_dtype)
+                                     args.cache_dtype,
+                                     keep_universe=fp_univ)
     q_sub, q_temb = capture_target(
         model, variables, cali_data, (),
         quant_capture_mode(args.act_quant) if args.asym else FP_CAPTURE,
-        tuple(q_abs), args.capture_batch_size, args.cache_dtype)
+        tuple(q_abs), args.capture_batch_size, args.cache_dtype,
+        keep_universe=q_univ)
 
     datas = []
     for t, (in_key, out_key, fp_keep, q_keep) in zip(targets, metas):
@@ -647,6 +677,23 @@ def reconstruct(model, variables: Dict[str, Any], cali_data: Sequence,
               else [[t] for t in plan])
     release = lambda tree: jax.tree.map(
         lambda x: x.delete() if hasattr(x, "delete") else None, tree)
+    universe = None
+    if args.shared_capture and len(plan) > 1:
+        # one capture executable per mode for the whole plan: every group's
+        # capture returns the same (universe) tap set, so the compiled
+        # program is reused across groups (cold capture compiles dominated
+        # production recon, PERF.md round 2).  Bound the per-batch
+        # transient (all taps of one batch live simultaneously) by capping
+        # the capture batch size.
+        fp_u, q_u = [], []
+        for t in plan:
+            _, _, fp_keep, q_keep = _keep_paths(t)
+            fp_u += [t.path + kp for kp in fp_keep]
+            q_u += [t.path + kp for kp in q_keep]
+        universe = (tuple(dict.fromkeys(fp_u)), tuple(dict.fromkeys(q_u)))
+        if args.capture_batch_size is None:
+            args = dataclasses.replace(
+                args, capture_batch_size=min(32, cali_data[0].shape[0]))
     budgeted = []
     for g in groups:
         sgs, row_cap = _split_by_budget(model, variables, cali_data, g, args)
@@ -663,7 +710,8 @@ def reconstruct(model, variables: Dict[str, Any], cali_data: Sequence,
                              for a in cali_data)
         else:
             grp_cali = cali_data
-        datas = build_group_data(model, variables, grp_cali, grp, args)
+        datas = build_group_data(model, variables, grp_cali, grp, args,
+                                 universe=universe)
         if mesh is not None:
             # distribute the activation caches' rows over the mesh (each
             # device holds n/n_dev rows; the scan's row gathers and the

@@ -32,7 +32,9 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..quant.config import QuantConfig, QuantMode, QuantizerSpec
-from ..ops.int8_einsum import int8_attention_serving, int8_act_einsum
+from ..ops.int8_einsum import (int8_attention_serving, int8_act_einsum,
+                               int8_code_einsum, quantize_act_int8)
+from ..ops.pallas_softmax import softmax_int8_codes, pallas_interpret
 from ..nn.layers import (QConv, QDense, ActQuantizer, group_norm, swish,
                          timestep_embedding, _sow_reduce)
 
@@ -153,14 +155,16 @@ class AttnBlockD(nn.Module):
             w = int8_act_einsum("nic,njc->nij",
                                 q, (dq, zq, self.aq.n_levels),
                                 k, (dk, zk, self.aq.n_levels)) * (c ** -0.5)
-            w = jax.nn.softmax(w, axis=-1)
             dv, zv = ActQuantizer(self.aq, name="act_quantizer_v")(
                 v, mode, params_only=True)
             dw, zw = ActQuantizer(self.aq_w, name="act_quantizer_w")(
                 w, mode, params_only=True)
-            h = int8_act_einsum("nij,njc->nic",
-                                w, (dw, zw, self.aq_w.n_levels),
-                                v, (dv, zv, self.aq.n_levels))
+            # fused softmax→codes: one pass over the (n, hw, hw) logits
+            # instead of XLA's multi-pass f32 softmax + quantize
+            W, cw = softmax_int8_codes(w, dw, zw, self.aq_w.n_levels,
+                                       interpret=pallas_interpret())
+            V, cv = quantize_act_int8(v, dv, zv, self.aq.n_levels)
+            h = int8_code_einsum("nij,njc->nic", W, cw, dw, V, cv, dv)
         else:
             q = ActQuantizer(self.aq, name="act_quantizer_q")(q, mode)
             k = ActQuantizer(self.aq, name="act_quantizer_k")(k, mode)

@@ -38,7 +38,9 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..quant.config import QuantConfig, QuantMode, QuantizerSpec
-from ..ops.int8_einsum import int8_attention_serving, int8_act_einsum
+from ..ops.int8_einsum import (int8_attention_serving, int8_act_einsum,
+                               int8_code_einsum, quantize_act_int8)
+from ..ops.pallas_softmax import softmax_int8_codes, pallas_interpret
 from ..nn.layers import (QConv, QDense, ActQuantizer, group_norm, swish,
                          timestep_embedding, _sow_reduce)
 
@@ -290,14 +292,16 @@ class AttentionBlockL(nn.Module):
             w = int8_act_einsum("bthc,bshc->bhts",
                                 q, (dq, zq, self.aq.n_levels),
                                 k, (dk, zk, self.aq.n_levels))
-            w = jax.nn.softmax(w, axis=-1)
             dw, zw = ActQuantizer(self.aq_w, name="act_quantizer_w")(
                 w, mode, params_only=True)
             dv, zv = ActQuantizer(self.aq, name="act_quantizer_v")(
                 v, mode, params_only=True)
-            a = int8_act_einsum("bhts,bshc->bthc",
-                                w, (dw, zw, self.aq_w.n_levels),
-                                v, (dv, zv, self.aq.n_levels))
+            # fused softmax→codes (ops/pallas_softmax.py): single pass
+            # over the (b, h, t, s) logits
+            W, cw = softmax_int8_codes(w, dw, zw, self.aq_w.n_levels,
+                                       interpret=pallas_interpret())
+            V, cv = quantize_act_int8(v, dv, zv, self.aq.n_levels)
+            a = int8_code_einsum("bhts,bshc->bthc", W, cw, dw, V, cv, dv)
         else:
             q = ActQuantizer(self.aq, name="act_quantizer_q")(q, mode)
             k = ActQuantizer(self.aq, name="act_quantizer_k")(k, mode)
@@ -364,14 +368,16 @@ class CrossAttentionL(nn.Module):
                                   q, (dq, zq, self.aq.n_levels),
                                   k, (dk, zk, self.aq.n_levels)) \
                 * (self.dim_head ** -0.5)
-            attn = jax.nn.softmax(sim, axis=-1)
             dw, zw = ActQuantizer(self.aq_w, name="act_quantizer_w")(
-                attn, mode, params_only=True)
+                sim, mode, params_only=True)
             dv, zv = ActQuantizer(self.aq, name="act_quantizer_v")(
                 v, mode, params_only=True)
-            out = int8_act_einsum("bhij,bjhd->bihd",
-                                  attn, (dw, zw, self.aq_w.n_levels),
-                                  v, (dv, zv, self.aq.n_levels))
+            # fused softmax→codes (ops/pallas_softmax.py); handles the
+            # 77-token CLIP context via in-kernel masking
+            W, cw = softmax_int8_codes(sim, dw, zw, self.aq_w.n_levels,
+                                       interpret=pallas_interpret())
+            V, cv = quantize_act_int8(v, dv, zv, self.aq.n_levels)
+            out = int8_code_einsum("bhij,bjhd->bihd", W, cw, dw, V, cv, dv)
         else:
             q = ActQuantizer(self.aq, name="act_quantizer_q")(q, mode)
             k = ActQuantizer(self.aq, name="act_quantizer_k")(k, mode)

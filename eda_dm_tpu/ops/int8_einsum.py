@@ -58,6 +58,33 @@ def _aligned_reduced(codes: jnp.ndarray, spec: str, out_spec: str):
         if order != sorted(order) else red.reshape(shape)
 
 
+def int8_code_einsum(eq: str, A: jnp.ndarray, ca, da,
+                     B: jnp.ndarray, cb, db,
+                     out_dtype=None) -> jnp.ndarray:
+    """einsum over *precomputed* centered int8 codes.
+
+    ``A``/``B`` are centered codes with recentering offsets ``ca``/``cb``
+    and quantizer steps ``da``/``db`` (the ``(codes, c)`` contract of
+    :func:`quantize_act_int8` / ``pallas_softmax.softmax_int8_codes``).
+    The int8×int8→int32 product runs on the MXU; the rank-reduced
+    correction terms restore the exact affine algebra (module docstring).
+    """
+    ins, out_spec = eq.split("->")
+    sa, sb = ins.split(",")
+    contracted = [l for l in sa if l not in out_spec]
+    k_total = 1
+    for l in contracted:
+        k_total *= A.shape[sa.index(l)]
+
+    acc = jnp.einsum(eq, A, B, preferred_element_type=jnp.int32) \
+        .astype(jnp.float32)
+    sum_a = _aligned_reduced(A, sa, out_spec).astype(jnp.float32)
+    sum_b = _aligned_reduced(B, sb, out_spec).astype(jnp.float32)
+    out = (da * db) * (acc + cb * sum_a + ca * sum_b
+                       + ca * cb * float(k_total))
+    return out if out_dtype is None else out.astype(out_dtype)
+
+
 def int8_act_einsum(eq: str, a: jnp.ndarray, qa, b: jnp.ndarray, qb,
                     out_dtype=None) -> jnp.ndarray:
     """einsum(fake_quant(a), fake_quant(b)) on the MXU's int8 mode.
@@ -74,21 +101,7 @@ def int8_act_einsum(eq: str, a: jnp.ndarray, qa, b: jnp.ndarray, qb,
     db, zpb, lb = qb
     A, ca = quantize_act_int8(a, da, zpa, la)
     B, cb = quantize_act_int8(b, db, zpb, lb)
-
-    ins, out_spec = eq.split("->")
-    sa, sb = ins.split(",")
-    contracted = [l for l in sa if l not in out_spec]
-    k_total = 1
-    for l in contracted:
-        k_total *= a.shape[sa.index(l)]
-
-    acc = jnp.einsum(eq, A, B, preferred_element_type=jnp.int32) \
-        .astype(jnp.float32)
-    sum_a = _aligned_reduced(A, sa, out_spec).astype(jnp.float32)
-    sum_b = _aligned_reduced(B, sb, out_spec).astype(jnp.float32)
-    out = (da * db) * (acc + cb * sum_a + ca * sum_b
-                       + ca * cb * float(k_total))
-    return out if out_dtype is None else out.astype(out_dtype)
+    return int8_code_einsum(eq, A, ca, da, B, cb, db, out_dtype=out_dtype)
 
 
 def int8_attention_serving(mode) -> bool:

@@ -33,8 +33,18 @@ def save_quant_state(path: str, variables: Dict[str, Any],
 
 
 def load_quant_state(path: str, variables: Dict[str, Any]) -> Dict[str, Any]:
+    """Restore a saved quant collection into ``variables``.
+
+    The restored tree is deep-merged over the template's quant tree so a
+    checkpoint from an older code revision that lacks later-added leaves
+    (e.g. the ``a_bits``/``*_bits`` width records) still loads — missing
+    leaves keep their freshly-initialized template values.
+    """
+    from .tree import deep_merge
     quant = _ckptr().restore(os.path.abspath(path))
-    return {**variables, "quant": jax.tree.map(np.asarray, quant)}
+    template = variables.get("quant") or {}
+    return {**variables,
+            "quant": deep_merge(template, jax.tree.map(np.asarray, quant))}
 
 
 def load_meta(path: str) -> Optional[Dict[str, Any]]:

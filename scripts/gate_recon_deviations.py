@@ -1,0 +1,164 @@
+"""End-metric gate for the grouped-recon deviations (round-2 verdict item 4).
+
+The shipped recon defaults deviate from the reference's strictly sequential
+walk (qdiff/recon_block_Qmodel.py:26-58) in three ways: grouped targets
+share pre-group asym captures (group_size=4), activation caches are stored
+bf16 on the 64×64-latent tasks, and over-budget captures row-cap the sample
+pool.  The structural gates (rounding-mask agreement, fixed-capture
+bit-exactness) can't see the accumulated effect on sample quality, so this
+script measures it end-to-end on a mid-size random-weights DDPM:
+
+  A (reference-exact): group_size=1, f32 caches, no row capping
+  B (shipped):         group_size=4 + window 1, bf16 caches, budget that
+                       forces row capping
+
+Both recon configs start from the same calibrated state and sample N images
+with identical noise; the gate compares in-framework InceptionV3 features
+(random-init weights — self-consistency, not ImageNet FID):
+
+  fid_AB  — Frechet distance between A's and B's sample populations
+  fid_*F  — each population vs the FP (unquantized) samples
+
+PASS when fid_AB is a small fraction of the quantization gap fid_AF (the
+deviations perturb sample statistics far less than quantization itself).
+
+    python scripts/gate_recon_deviations.py [--iters 1000] [--n 256]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=1000)
+    ap.add_argument("--n", type=int, default=256, help="images per arm")
+    ap.add_argument("--calib", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from eda_dm_tpu.models.ddpm_unet import DDPMUNet, DDPMConfig, \
+        ddpm_recon_plan
+    from eda_dm_tpu.quant import QuantConfig, QuantMode, FP, WAQ
+    from eda_dm_tpu.calib.recon import ReconArgs, reconstruct
+    from eda_dm_tpu.calib.scale_init import (set_weight_quantize_params,
+                                             set_act_quantize_params)
+    from eda_dm_tpu.samplers.schedules import get_beta_schedule, skip_sequence
+    from eda_dm_tpu.samplers.ddim import generalized_steps
+    from eda_dm_tpu.eval.inception import InceptionExtractor
+    from eda_dm_tpu.eval.metrics import fid_from_features
+    from eda_dm_tpu.utils.run import enable_compilation_cache, hard_sync
+
+    enable_compilation_cache()
+
+    # mid-size: 4 levels like CIFAR but half width, 32² pixel space
+    arch = DDPMConfig(ch=64, ch_mult=(1, 2, 2), num_res_blocks=2,
+                      attn_resolutions=(16,), resolution=32)
+    qc = QuantConfig(weight_bit=4, act_bit=8)
+    model = DDPMUNet(cfg=arch, qc=qc)
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(key, (8, 32, 32, 3))
+    t0_ = jnp.full((8,), 10.0)
+    variables = jax.jit(lambda: model.init(key, x0, t0_, FP))()
+    n_params = sum(int(np.prod(l.shape))
+                   for l in jax.tree.leaves(variables["params"]))
+    print(f"model: {n_params/1e6:.1f}M params", flush=True)
+
+    # calibration set: random latents over the timestep range (TDAC is
+    # orthogonal to the deviations under test)
+    kx, kt, kn = jax.random.split(jax.random.PRNGKey(1), 3)
+    cal_x = jax.random.normal(kx, (args.calib, 32, 32, 3))
+    cal_t = jax.random.uniform(kt, (args.calib,), minval=0.0, maxval=999.0)
+    cali = (cal_x, cal_t)
+
+    t_start = time.perf_counter()
+    variables = set_weight_quantize_params(model, variables, cali)
+    variables = set_act_quantize_params(model, variables, cali,
+                                        batch_size=64)
+    hard_sync(variables["quant"])
+    print(f"scale init: {time.perf_counter() - t_start:.0f}s", flush=True)
+
+    plan = ddpm_recon_plan(arch, qc)
+    print(f"plan: {len(plan)} targets", flush=True)
+
+    def run_recon(tag, group_size, window, cache_dtype, budget):
+        t0 = time.perf_counter()
+        ra = ReconArgs(iters=args.iters, batch_size=32,
+                       cache_dtype=cache_dtype, capture_budget_bytes=budget)
+        out = reconstruct(model, variables, cali, plan, ra,
+                          jax.random.PRNGKey(2),   # same key both arms
+                          group_size=group_size, group_window=window,
+                          clear_caches_every=6)
+        hard_sync(out["quant"])
+        print(f"recon[{tag}]: {time.perf_counter() - t0:.0f}s", flush=True)
+        return out
+
+    # A: reference-exact semantics; B: every shipped deviation at once.
+    # B's budget forces row-capping on the large early captures.
+    per_member = (args.calib * 32 * 32 * arch.ch * 4) * 6   # rough floor
+    v_a = run_recon("A ref-exact", 1, 0, None, 10 ** 18)
+    v_b = run_recon("B shipped", 4, 1, "bfloat16",
+                    max(per_member // 2, 64_000_000))
+
+    betas = get_beta_schedule("linear", beta_start=1e-4, beta_end=0.02,
+                              num_diffusion_timesteps=1000)
+    seq = skip_sequence("quad", args.steps, 1000)
+    bs = min(64, args.n)
+
+    def sample_population(vs, mode):
+        outs = []
+        fn = jax.jit(lambda v, xT: generalized_steps(
+            xT, seq, lambda a, b: model.apply(v, a, b, mode), betas,
+            eta=0.0)[0])
+        for i in range(args.n // bs):
+            xT = jax.random.normal(jax.random.fold_in(kn, i),
+                                   (bs, 32, 32, 3))
+            img = fn(vs, xT)
+            hard_sync(img)
+            outs.append(np.asarray(jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)))
+        return np.concatenate(outs)
+
+    t0 = time.perf_counter()
+    imgs_f = sample_population(variables, FP)   # quant state unused in FP
+    imgs_a = sample_population(v_a, WAQ)
+    imgs_b = sample_population(v_b, WAQ)
+    print(f"sampling 3x{args.n}: {time.perf_counter() - t0:.0f}s",
+          flush=True)
+
+    ext = InceptionExtractor()          # random-init: self-consistency
+    def feats(imgs):
+        fs = [ext.pool3(imgs[i:i + 32]) for i in range(0, len(imgs), 32)]
+        return np.concatenate(fs)
+
+    f_f, f_a, f_b = feats(imgs_f), feats(imgs_a), feats(imgs_b)
+    fid_ab = fid_from_features(f_a, f_b)
+    fid_af = fid_from_features(f_a, f_f)
+    fid_bf = fid_from_features(f_b, f_f)
+    # population split noise floor: A vs A's own halves
+    fid_noise = fid_from_features(f_a[: len(f_a) // 2],
+                                  f_a[len(f_a) // 2:])
+    result = {
+        "fid_A_vs_B": round(fid_ab, 4),
+        "fid_A_vs_FP": round(fid_af, 4),
+        "fid_B_vs_FP": round(fid_bf, 4),
+        "split_noise_floor": round(fid_noise, 4),
+        "gate": "PASS" if fid_ab < 0.25 * fid_af + fid_noise else "FAIL",
+        "iters": args.iters, "n": args.n,
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

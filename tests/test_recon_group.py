@@ -205,3 +205,25 @@ def test_bf16_cache_recon_close_to_f32(pipeline, calibrated):
     # loss trajectories track each other
     np.testing.assert_allclose(results["bfloat16"][1], results[None][1],
                                rtol=0.1, atol=1e-3)
+
+
+def test_shared_capture_universe_equals_per_group(pipeline, calibrated):
+    """shared_capture=True (one capture executable per mode for the whole
+    plan, round-3) must produce exactly the same reconstruction as the
+    per-group DCE'd capture path — the universe program returns a superset
+    of taps, the selected subset is identical."""
+    variables, cali_data = calibrated
+    plan = ddpm_recon_plan(ARCH, pipeline.qc)[:4]
+    key = jax.random.PRNGKey(11)
+    base = dict(iters=3, batch_size=4)
+    v_a = reconstruct(pipeline.model, variables, cali_data, plan,
+                         ReconArgs(shared_capture=False, **base), key,
+                         group_size=2)
+    v_b = reconstruct(pipeline.model, variables, cali_data, plan,
+                         ReconArgs(shared_capture=True, **base), key,
+                         group_size=2)
+    la, lb = jax.tree.leaves(v_a["quant"]), jax.tree.leaves(v_b["quant"])
+    assert len(la) == len(lb)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0,
+                                   rtol=0)
