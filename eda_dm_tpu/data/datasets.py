@@ -122,6 +122,80 @@ def iter_image_folder(path: str, batch_size: int = 64,
         yield np.stack(batch)
 
 
+def load_celeba(root: str, split: str = "train", size: int = 64,
+                limit: Optional[int] = None) -> np.ndarray:
+    """Aligned-CelebA reader → (N, size, size, 3) float32 [0,1].
+
+    Covers ``ddim/datasets/celeba.py:1-163`` + the fixed face crop the
+    reference applies before resizing (``ddim/datasets/__init__.py:77-92``:
+    Crop(cy−64, cy+64, cx−64, cx+64) with cx=89, cy=121 on the 178×218
+    aligned images).  Images live in ``<root>/img_align_celeba``; the
+    train/valid/test split comes from ``list_eval_partition.txt`` when
+    present (otherwise all images are used).
+    """
+    from PIL import Image
+    img_dir = os.path.join(root, "img_align_celeba")
+    if not os.path.isdir(img_dir):
+        img_dir = root
+    part_file = os.path.join(root, "list_eval_partition.txt")
+    split_id = {"train": 0, "valid": 1, "test": 2, "all": None}[split]
+    if split_id is not None and os.path.isfile(part_file):
+        with open(part_file) as f:
+            files = [name for line in f if line.strip()
+                     for name, sid in [line.split()]
+                     if int(sid) == split_id]
+    else:
+        files = sorted(f for f in os.listdir(img_dir)
+                       if f.lower().endswith(_IMG_EXT))
+    cx, cy = 89, 121
+    out = []
+    for fname in files[:limit]:
+        img = Image.open(os.path.join(img_dir, fname)).convert("RGB")
+        # Crop(x1=cy-64, x2=cy+64, y1=cx-64, y2=cx+64) → functional crop
+        # box (left, upper, right, lower) = (y1, x1, y2, x2)
+        img = img.crop((cx - 64, cy - 64, cx + 64, cy + 64))
+        if size != 128:
+            img = img.resize((size, size), Image.BICUBIC)
+        out.append(np.asarray(img, np.float32) / 255.0)
+    if not out:
+        raise RuntimeError(f"CelebA: no images found under {root}")
+    return np.stack(out)
+
+
+def load_ffhq(root: str, resolution: int = 256,
+              limit: Optional[int] = None) -> np.ndarray:
+    """FFHQ reader → (N, resolution, resolution, 3) float32 [0,1].
+
+    Covers ``ddim/datasets/ffhq.py:1-40``: the multi-resolution lmdb with
+    ``'{resolution}-{index:05d}'`` keys and a ``'length'`` record.  Falls
+    back to a plain image folder when the path is a directory of images
+    (or the lmdb package is unavailable).
+    """
+    if os.path.isdir(root) and any(
+            f.lower().endswith(_IMG_EXT) for f in os.listdir(root)):
+        return np.concatenate(list(iter_image_folder(
+            root, size=resolution, center_crop=True)))[:limit]
+    try:
+        import lmdb
+    except ImportError as e:
+        raise RuntimeError(
+            f"FFHQ: {root} is not an image folder and the lmdb package is "
+            "not installed; export the archive to images first.") from e
+    from PIL import Image
+    import io
+    env = lmdb.open(root, max_readers=32, readonly=True, lock=False,
+                    readahead=False, meminit=False)
+    with env.begin(write=False) as txn:
+        length = int(txn.get(b"length").decode())
+        n = length if limit is None else min(limit, length)
+        out = []
+        for i in range(n):
+            raw = txn.get(f"{resolution}-{str(i).zfill(5)}".encode())
+            img = Image.open(io.BytesIO(raw)).convert("RGB")
+            out.append(np.asarray(img, np.float32) / 255.0)
+    return np.stack(out)
+
+
 def load_lsun(root: str, category: str, limit: Optional[int] = None,
               size: int = 256) -> np.ndarray:
     """LSUN scene reader (ddim/datasets/__init__.py:57-95 uses the lmdb

@@ -88,10 +88,15 @@ def get_parser():
                    default="openai/clip-vit-large-patch14")
     p.add_argument("--prompts_file", type=str, default=None,
                    help="text prompts (one per line) for the coco task")
+    p.add_argument("--skip_grid", action="store_true",
+                   help="skip the grid-0000.png preview save "
+                        "(sample_diffusion_ldm_imagenet.py:255-265)")
+    p.add_argument("--n_rows", type=int, default=8,
+                   help="images per grid row")
     return p
 
 
-def build_coco_context(args, pipe, n):
+def build_coco_context(args, pipe, n, prompt_dir=None):
     """Prompt embeddings for the coco task via the selected encoder."""
     if args.prompts_file:
         with open(args.prompts_file) as f:
@@ -99,6 +104,10 @@ def build_coco_context(args, pipe, n):
     else:
         prompts = [f"a photo, sample {i}" for i in range(n)]
     prompts = (prompts * (-(-n // len(prompts))))[:n]
+    if prompt_dir:
+        # per-image prompt txt dump (sample_txt2img.py:143-152)
+        from eda_dm_tpu.eval.io import save_prompts
+        save_prompts(prompts, prompt_dir)
     if args.text_encoder == "clip":
         from eda_dm_tpu.models.encoders import FrozenCLIPTextEncoder
         enc = FrozenCLIPTextEncoder(args.clip_path)
@@ -164,14 +173,34 @@ def main():
             variables["cond_stage"], jnp.full((n,), 1000))
     elif args.task == "coco":
         n = max(cfg.batch_samples, cfg.calib_num_samples)
-        context, uncond = build_coco_context(args, pipe, n)
+        context, uncond = build_coco_context(
+            args, pipe, n,
+            prompt_dir=os.path.join(run_dir, "image_prompts"))
 
     img_dir = os.path.join(run_dir, "img")
     progress = lambda name, loss: log.info("recon %s loss %.5f", name, loss)
 
+    def save_preview_grid():
+        """grid-0000.png from the first saved images, watermarked for the
+        SD-family tasks (sample_diffusion_ldm_imagenet.py:206-265)."""
+        if args.skip_grid:
+            return
+        from eda_dm_tpu.data.datasets import iter_image_folder
+        from eda_dm_tpu.eval.io import save_grid
+        try:
+            first = next(iter_image_folder(img_dir, batch_size=64))
+        except (StopIteration, FileNotFoundError):
+            return
+        wm = ("StableDiffusionV1"
+              if args.task in ("imagenet", "coco") else None)
+        save_grid(first, os.path.join(run_dir, "grid-0000.png"),
+                  nrow=args.n_rows, watermark=wm)
+        log.info("grid preview saved to %s/grid-0000.png", run_dir)
+
     if args.phase == "all":
         pipe.run(out_dir=img_dir, variables=variables, context=context,
                  uncond=uncond, progress=progress, serve=args.serve)
+        save_preview_grid()
         log.info("done; images in %s", img_dir)
         return
 
@@ -213,6 +242,7 @@ def main():
     serving, mode = pipe.serving_variables(variables, args.serve)
     pipe.sample_fid(serving, out_dir=img_dir, mode=mode,
                     context_fn=pipe.make_context_fn(context, uncond))
+    save_preview_grid()
     log.info("done; images in %s", img_dir)
 
 

@@ -63,3 +63,43 @@ def test_coco_prompts_json_and_txt(tmp_path):
     t = tmp_path / "prompts.txt"
     t.write_text("a dog\n\na cat\n")
     assert load_coco_prompts(str(t), shuffle=False) == ["a dog", "a cat"]
+
+
+def test_celeba_loader_crop_and_split(tmp_path):
+    """load_celeba: reference face crop (ddim/datasets/__init__.py:77-92)
+    on 178x218 aligned images + list_eval_partition.txt split filter."""
+    from PIL import Image
+    from eda_dm_tpu.data.datasets import load_celeba
+    img_dir = tmp_path / "img_align_celeba"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    names, splits = [], []
+    for i in range(6):
+        arr = rng.randint(0, 256, (218, 178, 3), dtype=np.uint8)
+        # mark the crop's top-left pixel (row 57, col 25) to verify the box
+        arr[57, 25] = (255, 0, 0)
+        name = f"{i:06d}.png"                   # lossless: marker survives
+        Image.fromarray(arr).save(img_dir / name)
+        names.append(name)
+        splits.append(i % 3)            # 0=train 1=valid 2=test
+    with open(tmp_path / "list_eval_partition.txt", "w") as f:
+        for n, s in zip(names, splits):
+            f.write(f"{n} {s}\n")
+
+    train = load_celeba(str(tmp_path), split="train", size=128)
+    assert train.shape == (2, 128, 128, 3)      # 2 of 6 are split 0
+    # size=128 skips the resize, so the marker lands exactly at (0, 0)
+    assert train[0, 0, 0, 0] > 0.8 and train[0, 0, 0, 1] < 0.35
+    small = load_celeba(str(tmp_path), split="all", size=64, limit=3)
+    assert small.shape == (3, 64, 64, 3) and small.dtype == np.float32
+
+
+def test_ffhq_loader_folder_fallback(tmp_path):
+    from PIL import Image
+    from eda_dm_tpu.data.datasets import load_ffhq
+    for i in range(4):
+        arr = np.full((32, 48, 3), 60 * i, np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"{i:05d}.png")
+    imgs = load_ffhq(str(tmp_path), resolution=16, limit=3)
+    assert imgs.shape == (3, 16, 16, 3)
+    assert imgs.dtype == np.float32 and float(imgs.max()) <= 1.0

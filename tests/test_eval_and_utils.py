@@ -129,3 +129,28 @@ def test_act_only_recon_trains_only_attn_deltas():
     np.testing.assert_array_equal(np.asarray(after["q"]["w0_alpha"]),
                                   np.asarray(before["q"]["w0_alpha"]))
     assert np.isfinite(np.asarray(losses)).all()
+
+
+def test_grid_watermark_prompt_io(tmp_path):
+    """Task-layer niceties: make_grid geometry, invisible-watermark
+    roundtrip, per-image prompt dump (sample_diffusion_ldm_imagenet.py:
+    206-265, sample_txt2img.py:143-152)."""
+    from eda_dm_tpu.eval.io import (make_grid, put_watermark, read_watermark,
+                                    save_grid, save_prompts)
+    rng = np.random.RandomState(0)
+    imgs = rng.rand(10, 8, 8, 3).astype(np.float32)
+    grid = make_grid(imgs, nrow=4, padding=2)
+    assert grid.shape == (3 * 10 + 2, 4 * 10 + 2, 3)
+
+    u8 = rng.randint(0, 256, (64, 64, 3), np.uint8)
+    wm = put_watermark(u8, "StableDiffusionV1")
+    assert np.abs(wm.astype(int) - u8.astype(int)).max() <= 1
+    assert read_watermark(wm) == "StableDiffusionV1"
+
+    out = tmp_path / "grid.png"
+    save_grid(imgs, str(out), nrow=4, watermark="StableDiffusionV1")
+    from PIL import Image
+    assert read_watermark(np.asarray(Image.open(out))) == "StableDiffusionV1"
+
+    save_prompts(["a cat", "a dog"], str(tmp_path / "pr"))
+    assert open(tmp_path / "pr" / "00001.txt").read() == "a dog"
