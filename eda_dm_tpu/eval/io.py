@@ -1,9 +1,10 @@
 """Image output for FID evaluation sets.
 
 Replaces the reference's per-image ``torchvision.utils.save_image`` loop
-(/root/reference/scripts/sample_diffusion_ddim.py:201-205).  PNG encoding is
-pure-Python (PIL) for now; the native C++ writer hook lands with the
-parallel multi-host writer.
+(/root/reference/scripts/sample_diffusion_ddim.py:201-205).  PNG batches go
+through the native C++ thread-pool writer (eda_dm_tpu/native/imgio.cpp) so
+deflate overlaps the next TPU sampling batch; PIL is the fallback when no
+toolchain/libpng is present (and the path for non-png formats).
 """
 
 from __future__ import annotations
@@ -21,14 +22,19 @@ def to_uint8(images: np.ndarray) -> np.ndarray:
 
 
 def save_images(images: np.ndarray, out_dir: str, start_index: int = 0,
-                fmt: str = "png") -> int:
+                fmt: str = "png", native: bool = True) -> int:
     """Write NHWC float images in [0,1] as {index}.png; returns count."""
-    from PIL import Image
     os.makedirs(out_dir, exist_ok=True)
     arr = to_uint8(images)
+    paths = [os.path.join(out_dir, f"{start_index + i}.{fmt}")
+             for i in range(arr.shape[0])]
+    if native and fmt == "png":
+        from ..native import write_png_batch
+        if write_png_batch(arr, paths):
+            return arr.shape[0]
+    from PIL import Image
     for i in range(arr.shape[0]):
-        Image.fromarray(arr[i]).save(
-            os.path.join(out_dir, f"{start_index + i}.{fmt}"))
+        Image.fromarray(arr[i]).save(paths[i])
     return arr.shape[0]
 
 
