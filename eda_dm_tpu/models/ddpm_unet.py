@@ -35,6 +35,8 @@ from ..quant.config import QuantConfig, QuantMode, QuantizerSpec
 from ..ops.int8_einsum import (int8_attention_serving, int8_act_einsum,
                                int8_code_einsum, quantize_act_int8)
 from ..ops.pallas_softmax import softmax_int8_codes, pallas_interpret
+from ..ops.pallas_attention import (int8_fused_attention,
+                                    fused_attention_applicable)
 from ..nn.layers import (QConv, QDense, ActQuantizer, group_norm, swish,
                          timestep_embedding, _sow_reduce)
 
@@ -152,19 +154,33 @@ class AttnBlockD(nn.Module):
                 q, mode, params_only=True)
             dk, zk = ActQuantizer(self.aq, name="act_quantizer_k")(
                 k, mode, params_only=True)
-            w = int8_act_einsum("nic,njc->nij",
-                                q, (dq, zq, self.aq.n_levels),
-                                k, (dk, zk, self.aq.n_levels)) * (c ** -0.5)
             dv, zv = ActQuantizer(self.aq, name="act_quantizer_v")(
                 v, mode, params_only=True)
             dw, zw = ActQuantizer(self.aq_w, name="act_quantizer_w")(
-                w, mode, params_only=True)
-            # fused softmax→codes: one pass over the (n, hw, hw) logits
-            # instead of XLA's multi-pass f32 softmax + quantize
-            W, cw = softmax_int8_codes(w, dw, zw, self.aq_w.n_levels,
-                                       interpret=pallas_interpret())
-            V, cv = quantize_act_int8(v, dv, zv, self.aq.n_levels)
-            h = int8_code_einsum("nij,njc->nic", W, cw, dw, V, cv, dv)
+                jnp.zeros((), x.dtype), mode, params_only=True)
+            s_hw = hh * ww
+            if fused_attention_applicable(s_hw, c):
+                # whole attention for a batch element stays in VMEM: the
+                # (n, hw, hw) logits are never materialized in HBM
+                # (ops/pallas_attention.py)
+                Qc, cq = quantize_act_int8(q, dq, zq, self.aq.n_levels)
+                Kc, ck = quantize_act_int8(k, dk, zk, self.aq.n_levels)
+                V, cv = quantize_act_int8(v, dv, zv, self.aq.n_levels)
+                h = int8_fused_attention(
+                    Qc, cq, dq, Kc, ck, dk, V, cv, dv, c ** -0.5,
+                    dw, zw, self.aq_w.n_levels,
+                    interpret=pallas_interpret())
+            else:
+                w = int8_act_einsum("nic,njc->nij",
+                                    q, (dq, zq, self.aq.n_levels),
+                                    k, (dk, zk, self.aq.n_levels)) \
+                    * (c ** -0.5)
+                # fused softmax→codes: one pass over the (n, hw, hw)
+                # logits instead of XLA's multi-pass f32 softmax + quantize
+                W, cw = softmax_int8_codes(w, dw, zw, self.aq_w.n_levels,
+                                           interpret=pallas_interpret())
+                V, cv = quantize_act_int8(v, dv, zv, self.aq.n_levels)
+                h = int8_code_einsum("nij,njc->nic", W, cw, dw, V, cv, dv)
         else:
             q = ActQuantizer(self.aq, name="act_quantizer_q")(q, mode)
             k = ActQuantizer(self.aq, name="act_quantizer_k")(k, mode)

@@ -143,3 +143,16 @@ def test_sd_cross_attention_int8():
     x = jax.random.normal(jax.random.PRNGKey(8), (2, 9, 16))
     ctx = jax.random.normal(jax.random.PRNGKey(9), (2, 5, 16))
     _ldm_attention_int8_check(blk, (x, ctx))
+
+
+def test_ddpm_attn_block_fused_kernel_int8():
+    """AttnBlockD at a 128-multiple width takes the fused Pallas attention
+    path (ops/pallas_attention.py) — DEPLOY_INT8 must still track the
+    folded DEPLOY forward."""
+    from eda_dm_tpu.models.ddpm_unet import AttnBlockD
+    from eda_dm_tpu.ops.pallas_attention import fused_attention_applicable
+    assert fused_attention_applicable(64, 128)   # the shape below
+    qc = QuantConfig(weight_bit=4, act_bit=8)
+    blk = AttnBlockD(wq=qc.wq, aq=qc.aq, aq_w=qc.aq_softmax())
+    x = jax.random.normal(jax.random.PRNGKey(11), (2, 8, 8, 128))
+    _ldm_attention_int8_check(blk, (x,))
