@@ -184,8 +184,12 @@ def main():
             print("phase=recon complete; state saved", flush=True)
             return
 
-    # free calibration caches before production-batch sampling
+    # free calibration caches + resident compiled programs before
+    # production-batch sampling (compiled TPU programs stay resident on the
+    # relay for the process lifetime; the quick-calib/recon programs plus
+    # the sampling program together exceed HBM on the largest models)
     del cali, sel
+    jax.clear_caches()
 
     ctx_b = unc_b = None
     if context is not None:
