@@ -41,6 +41,17 @@ from ..quant.config import QuantConfig, QuantMode, QuantizerSpec
 from ..ops.int8_einsum import (int8_attention_serving, int8_act_einsum,
                                int8_code_einsum, quantize_act_int8)
 from ..ops.pallas_softmax import softmax_int8_codes, pallas_interpret
+from ..ops.pallas_attention import (int8_fused_attention_heads,
+                                    fused_attention_applicable)
+
+
+def _fused_narrow_attention(s: int, c: int) -> bool:
+    """Fused attention for the LDM zoos' narrow (32/64-channel) heads:
+    128-aligned widths qualify unconditionally; narrower lanes only once
+    validated on the target chip (set EDM_FUSED_ATTN_NARROW=1)."""
+    import os
+    narrow = os.environ.get("EDM_FUSED_ATTN_NARROW", "0") == "1"
+    return fused_attention_applicable(s, c, narrow_lanes=narrow)
 from ..nn.layers import (QConv, QDense, ActQuantizer, group_norm, swish,
                          timestep_embedding, _sow_reduce)
 
@@ -289,19 +300,33 @@ class AttentionBlockL(nn.Module):
                 q, mode, params_only=True)
             dk, zk = ActQuantizer(self.aq, name="act_quantizer_k")(
                 k, mode, params_only=True)
-            w = int8_act_einsum("bthc,bshc->bhts",
-                                q, (dq, zq, self.aq.n_levels),
-                                k, (dk, zk, self.aq.n_levels))
             dw, zw = ActQuantizer(self.aq_w, name="act_quantizer_w")(
-                w, mode, params_only=True)
+                jnp.zeros((), x.dtype), mode, params_only=True)
             dv, zv = ActQuantizer(self.aq, name="act_quantizer_v")(
                 v, mode, params_only=True)
-            # fused softmax→codes (ops/pallas_softmax.py): single pass
-            # over the (b, h, t, s) logits
-            W, cw = softmax_int8_codes(w, dw, zw, self.aq_w.n_levels,
-                                       interpret=pallas_interpret())
-            V, cv = quantize_act_int8(v, dv, zv, self.aq.n_levels)
-            a = int8_code_einsum("bhts,bshc->bthc", W, cw, dw, V, cv, dv)
+            if _fused_narrow_attention(t_len, ch):
+                # whole per-head attention stays in VMEM; the (b,h,t,s)
+                # logits are never materialized (ops/pallas_attention.py,
+                # heads layout — narrow lanes gated on on-chip validation
+                # via EDM_FUSED_ATTN_NARROW)
+                Qc, cq = quantize_act_int8(q, dq, zq, self.aq.n_levels)
+                Kc, ck = quantize_act_int8(k, dk, zk, self.aq.n_levels)
+                V, cv = quantize_act_int8(v, dv, zv, self.aq.n_levels)
+                a = int8_fused_attention_heads(
+                    Qc, cq, dq, Kc, ck, dk, V, cv, dv, 1.0,
+                    dw, zw, self.aq_w.n_levels,
+                    interpret=pallas_interpret())
+            else:
+                w = int8_act_einsum("bthc,bshc->bhts",
+                                    q, (dq, zq, self.aq.n_levels),
+                                    k, (dk, zk, self.aq.n_levels))
+                # fused softmax→codes (ops/pallas_softmax.py): single pass
+                # over the (b, h, t, s) logits
+                W, cw = softmax_int8_codes(w, dw, zw, self.aq_w.n_levels,
+                                           interpret=pallas_interpret())
+                V, cv = quantize_act_int8(v, dv, zv, self.aq.n_levels)
+                a = int8_code_einsum("bhts,bshc->bthc",
+                                     W, cw, dw, V, cv, dv)
         else:
             q = ActQuantizer(self.aq, name="act_quantizer_q")(q, mode)
             k = ActQuantizer(self.aq, name="act_quantizer_k")(k, mode)

@@ -41,10 +41,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def fused_attention_applicable(s: int, c: int) -> bool:
+def fused_attention_applicable(s: int, c: int,
+                               narrow_lanes: bool = False) -> bool:
     """One batch element's working set must fit VMEM comfortably and the
-    contraction axes must be MXU-tileable."""
-    if c % 128 != 0 or s % 8 != 0:
+    contraction axes must be MXU-tileable.
+
+    ``narrow_lanes`` admits head widths below one 128-lane tile (the LDM
+    zoos' 32/64-channel heads) — Mosaic pads the minor dimension, trading
+    some MXU utilization for never materializing the (S, S) logits; gate
+    behind on-chip validation (EDM_FUSED_ATTN_NARROW)."""
+    if s % 8 != 0:
+        return False
+    if c % 128 != 0 and not (narrow_lanes and c % 8 == 0):
         return False
     # s8 q/k/v + f32 logits + f32 out, plus headroom for double buffering
     bytes_needed = 3 * s * c + 4 * s * s + 4 * s * c
@@ -52,7 +60,7 @@ def fused_attention_applicable(s: int, c: int) -> bool:
 
 
 def _kernel(q_ref, k_ref, v_ref, sc_ref, o_ref, *, s: int, c: int,
-            n_levels_w: int):
+            n_levels_w: int, heads: bool = False):
     # sc: [cq, ck, cv, logit_scale(=dq·dk·attn_scale), dw, zw, dwdv]
     cq = sc_ref[0]
     ck = sc_ref[1]
@@ -62,9 +70,14 @@ def _kernel(q_ref, k_ref, v_ref, sc_ref, o_ref, *, s: int, c: int,
     zw = sc_ref[5]
     dwdv = sc_ref[6]
 
-    q = q_ref[0].astype(jnp.bfloat16)        # (S, C) codes, exact in bf16
-    k = k_ref[0].astype(jnp.bfloat16)
-    v = v_ref[0].astype(jnp.bfloat16)
+    if heads:                      # (1, S, 1, C) block of a (B, S, H, C) op
+        q = q_ref[0, :, 0].astype(jnp.bfloat16)
+        k = k_ref[0, :, 0].astype(jnp.bfloat16)
+        v = v_ref[0, :, 0].astype(jnp.bfloat16)
+    else:                          # (1, S, C) block of a (B, S, C) operand
+        q = q_ref[0].astype(jnp.bfloat16)    # (S, C) codes, exact in bf16
+        k = k_ref[0].astype(jnp.bfloat16)
+        v = v_ref[0].astype(jnp.bfloat16)
 
     acc = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
@@ -85,8 +98,11 @@ def _kernel(q_ref, k_ref, v_ref, sc_ref, o_ref, *, s: int, c: int,
                                preferred_element_type=jnp.float32)
     sum_w = jnp.sum(wc, axis=1, keepdims=True)                      # (S,1)
     sum_v = jnp.sum(v.astype(jnp.float32), axis=0)[None, :]         # (1,C)
-    o_ref[0] = (acc2 + cv * sum_w + cw * sum_v
-                + cw * cv * float(s)) * dwdv
+    out = (acc2 + cv * sum_w + cw * sum_v + cw * cv * float(s)) * dwdv
+    if heads:
+        o_ref[0, :, 0] = out
+    else:
+        o_ref[0] = out
 
 
 def int8_fused_attention(Q: jnp.ndarray, cq, dq,
@@ -135,5 +151,46 @@ def int8_fused_attention(Q: jnp.ndarray, cq, dq,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * s * s * c, bytes_accessed=b * (3 * s * c + 4 * s * c),
             transcendentals=b * s * s),
+        interpret=interpret,
+    )(Q, K, V, sc)
+
+
+def int8_fused_attention_heads(Q: jnp.ndarray, cq, dq,
+                               K: jnp.ndarray, ck, dk,
+                               V: jnp.ndarray, cv, dv,
+                               attn_scale: float,
+                               dw, zw, n_levels_w: int,
+                               interpret: bool = False) -> jnp.ndarray:
+    """Head-layout variant: Q/K/V are (B, S, H, C) centered int8 codes (the
+    LDM ``bthc`` layout).  The grid runs over (batch, head) with per-head
+    blocks indexed straight out of the interleaved layout — no transposed
+    copies are materialized.  Returns f32 (B, S, H, C)."""
+    b, s, h, c = Q.shape
+    sc = jnp.stack([
+        jnp.asarray(cq, jnp.float32).reshape(()),
+        jnp.asarray(ck, jnp.float32).reshape(()),
+        jnp.asarray(cv, jnp.float32).reshape(()),
+        (jnp.asarray(dq, jnp.float32) * jnp.asarray(dk, jnp.float32)
+         * attn_scale).reshape(()),
+        jnp.asarray(dw, jnp.float32).reshape(()),
+        jnp.asarray(zw, jnp.float32).reshape(()),
+        (jnp.asarray(dw, jnp.float32)
+         * jnp.asarray(dv, jnp.float32)).reshape(()),
+    ])
+    kernel = functools.partial(_kernel, s=s, c=c, n_levels_w=n_levels_w,
+                               heads=True)
+    spec = pl.BlockSpec((1, s, 1, c), lambda i, j: (i, 0, j, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h),
+        in_specs=[spec, spec, spec,
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, s, h, c), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s * s * c,
+            bytes_accessed=b * h * (3 * s * c + 4 * s * c),
+            transcendentals=b * h * s * s),
         interpret=interpret,
     )(Q, K, V, sc)

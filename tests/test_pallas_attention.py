@@ -68,3 +68,32 @@ def test_fused_attention_under_jit_and_vmap_batch():
     # rows of the probability simplex: output within the value range
     assert np.abs(np.asarray(out)).max() < np.abs(
         (np.asarray(Q, np.float32) + float(cq)) * float(dq)).max() * 1.5
+
+
+def test_heads_layout_matches_unfused_ldm_chain():
+    """(B,T,H,C) layout vs the LDM legacy chain bthc,bshc->bhts → softmax
+    codes → bhts,bshc->bthc, at a narrow (64-lane) head width."""
+    from eda_dm_tpu.ops.pallas_attention import int8_fused_attention_heads
+    b, s, h, c = 2, 64, 3, 64
+    rng = jax.random.PRNGKey(3)
+    kq, kk, kv = jax.random.split(rng, 3)
+    q = jax.random.normal(kq, (b, s, h, c))
+    k = jax.random.normal(kk, (b, s, h, c)) * 0.7
+    v = jax.random.normal(kv, (b, s, h, c)) * 1.1
+    dq, zq = jnp.float32(0.02), jnp.float32(131.0)
+    dk, zk = jnp.float32(0.018), jnp.float32(125.0)
+    dv, zv = jnp.float32(0.024), jnp.float32(129.0)
+    Q, cq = quantize_act_int8(q, dq, zq, 256)
+    K, ck = quantize_act_int8(k, dk, zk, 256)
+    V, cv = quantize_act_int8(v, dv, zv, 256)
+    dw, zw, n_lv = jnp.float32(1 / 255.0), jnp.float32(0.0), 256
+
+    w = int8_code_einsum("bthc,bshc->bhts", Q, cq, dq, K, ck, dk)
+    W, cw = softmax_int8_codes(w, dw, zw, n_lv, interpret=True)
+    ref = int8_code_einsum("bhts,bshc->bthc", W, cw, dw, V, cv, dv)
+
+    out = int8_fused_attention_heads(Q, cq, dq, K, ck, dk, V, cv, dv, 1.0,
+                                     dw, zw, n_lv, interpret=True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
