@@ -32,13 +32,22 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..quant.config import QuantConfig, QuantMode, QuantizerSpec
+import os
+
 from ..ops.int8_einsum import (int8_attention_serving, int8_act_einsum,
                                int8_code_einsum, quantize_act_int8)
 from ..ops.pallas_softmax import softmax_int8_codes, pallas_interpret
 from ..ops.pallas_attention import (int8_fused_attention,
                                     fused_attention_applicable)
-from ..nn.layers import (QConv, QDense, ActQuantizer, group_norm, swish,
-                         timestep_embedding, _sow_reduce)
+from ..ops.pallas_gn import fused_gn_applicable, gn_norm
+from ..nn.layers import (QConv, QDense, ActQuantizer, GNorm, group_norm,
+                         int8_conv_serving, swish, timestep_embedding,
+                         _sow_reduce)
+
+
+def _fused_gn_enabled() -> bool:
+    """Kill-switch for the fused GN serving kernel (on-chip debugging)."""
+    return os.environ.get("EDM_FUSED_GN", "1") != "0"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -82,14 +91,28 @@ class ResnetBlockD(nn.Module):
         if mode.capture:
             self.sow("taps", "block_in", x, reduce_fn=_sow_reduce)
         in_ch = x.shape[-1]
-        h = swish(group_norm()(x))
-        h = QConv(self.out_ch, (3, 3), wq=self.wq, aq=self.aq,
-                  name="conv1")(h, mode)
+        # on the int8 serving path the producer GN(+swish) fuses with the
+        # conv input quantize+pad into one Pallas HBM pass (pre_gn)
+        int8_path = (int8_conv_serving(mode, self.wq, self.aq)
+                     and _fused_gn_enabled())
+        gn1 = group_norm(name="GroupNorm_0")
+        if int8_path and fused_gn_applicable(*x.shape[1:]):
+            h = QConv(self.out_ch, (3, 3), wq=self.wq, aq=self.aq,
+                      name="conv1")(x, mode,
+                                    pre_gn=(*gn1(x, params_only=True), True))
+        else:
+            h = QConv(self.out_ch, (3, 3), wq=self.wq, aq=self.aq,
+                      name="conv1")(swish(gn1(x)), mode)
         h = h + QDense(self.out_ch, wq=self.wq, aq=self.aq,
                        name="temb_proj")(swish(temb), mode)[:, None, None, :]
-        h = swish(group_norm()(h))
-        h = QConv(self.out_ch, (3, 3), wq=self.wq, aq=self.aq,
-                  name="conv2")(h, mode)
+        gn2 = group_norm(name="GroupNorm_1")
+        if int8_path and fused_gn_applicable(*h.shape[1:]):
+            h = QConv(self.out_ch, (3, 3), wq=self.wq, aq=self.aq,
+                      name="conv2")(h, mode,
+                                    pre_gn=(*gn2(h, params_only=True), True))
+        else:
+            h = QConv(self.out_ch, (3, 3), wq=self.wq, aq=self.aq,
+                      name="conv2")(swish(gn2(h)), mode)
         if in_ch != self.out_ch:
             if self.conv_shortcut:
                 x = QConv(self.out_ch, (3, 3), wq=self.wq, aq=self.aq,
@@ -130,7 +153,15 @@ class AttnBlockD(nn.Module):
         if mode.capture:
             self.sow("taps", "block_in", x, reduce_fn=_sow_reduce)
         n, hh, ww, c = x.shape
-        h = group_norm()(x)
+        gn = group_norm(name="GroupNorm_0")
+        if (int8_attention_serving(mode) and _fused_gn_enabled()
+                and fused_gn_applicable(hh, ww, c)):
+            # multi-consumer GN output (q/k/v convs): emit the carrier
+            # dtype in one HBM pass instead of XLA's two-pass GN
+            h = gn_norm(x, *gn(x, params_only=True),
+                        interpret=pallas_interpret())
+        else:
+            h = gn(x)
         q = QConv(c, (1, 1), padding="VALID", wq=self.wq, aq=self.aq,
                   name="q")(h, mode)
         k = QConv(c, (1, 1), padding="VALID", wq=self.wq, aq=self.aq,
@@ -339,7 +370,7 @@ class DDPMUNet(nn.Module):
                         if i == cfg.num_resolutions - 1 else None))
             for i in range(cfg.num_resolutions)]
 
-        self.norm_out = nn.GroupNorm(num_groups=32, epsilon=1e-6)
+        self.norm_out = GNorm()
         self.conv_out = QConv(cfg.out_ch, (3, 3), wq=wq.with_bits(8), aq=aq,
                               disable_act_quant=True)
 
@@ -383,7 +414,12 @@ class DDPMUNet(nn.Module):
         for i in reversed(range(cfg.num_resolutions)):
             h = self.up[i](h, hs, temb, mode)
 
-        h = swish(self.norm_out(h))
+        if (int8_attention_serving(mode) and _fused_gn_enabled()
+                and fused_gn_applicable(*h.shape[1:])):
+            h = gn_norm(h, *self.norm_out(h, params_only=True), swish=True,
+                        interpret=pallas_interpret())
+        else:
+            h = swish(self.norm_out(h))
         return self.conv_out(h, mode)
 
 

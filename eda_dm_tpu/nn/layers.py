@@ -118,6 +118,54 @@ class ActQuantizer(nn.Module):
         return x_fq
 
 
+def int8_conv_serving(mode: QuantMode, wq: QuantizerSpec, aq: QuantizerSpec,
+                      disable_act_quant: bool = False) -> bool:
+    """Gate for the native int8 conv/dense serving path (export_serving_int8
+    trees + DEPLOY_INT8).  8-bit-weight layers (first/last policy) keep the
+    folded bf16 path — their centered codes can exceed int8 range — and
+    activations must fit int8 after the L/2 recentering (act_bit ≤ 8)."""
+    return (mode.int8 and mode.a_quant and not mode.calib_a
+            and not mode.w_quant and not mode.training
+            and not mode.capture and not disable_act_quant
+            and wq.n_bits <= 7 and aq.n_bits <= 8)
+
+
+class GNorm(nn.Module):
+    """GroupNorm(32, eps=1e-6) with carrier-dtype output and param access.
+
+    Drop-in for ``nn.GroupNorm`` (param names/init ``scale``/``bias``, fast
+    f32 variance) with two deployment-relevant differences: the output
+    keeps the *input* dtype — ``nn.GroupNorm(dtype=None)`` promotes bf16
+    inputs to f32, which silently turned the whole bf16/int8 serving
+    carrier into f32 HBM traffic after the first norm — and
+    ``params_only=True`` returns ``(scale, bias)`` so serving paths can
+    hand them to the fused one-HBM-pass kernel (ops/pallas_gn.py).
+    """
+
+    num_groups: int = 32
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray = None, params_only: bool = False):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        if params_only:
+            return scale, bias
+        xf = x.astype(jnp.float32)
+        xg = xf.reshape(*x.shape[:-1], self.num_groups,
+                        c // self.num_groups)
+        axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)
+        mean = jnp.mean(xg, axis=axes, keepdims=True)
+        # two-pass variance (torch GN semantics; also what the fused
+        # serving kernel computes — fast variance's cancellation noise
+        # differs per summation order and flips borderline act codes)
+        var = jnp.mean((xg - mean) ** 2, axis=axes, keepdims=True)
+        y = (xg - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y.reshape(x.shape) * scale + bias
+        return y.astype(x.dtype)
+
+
 def _quantize_act_int8(x: jnp.ndarray, delta: jnp.ndarray,
                        zp: jnp.ndarray, n_levels: int):
     """8-bit activation codes recentered to int8.
@@ -210,7 +258,8 @@ class QConv(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mode: QuantMode) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, mode: QuantMode,
+                 pre_gn: Optional[tuple] = None) -> jnp.ndarray:
         in_ch = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (*self.kernel_size, in_ch, self.features))
@@ -221,15 +270,13 @@ class QConv(nn.Module):
             self.sow("taps", "in", x, reduce_fn=_sow_reduce)
 
         # --- native int8 serving path (export_serving_int8 weights) -------
-        # 8-bit-weight layers (first/last) keep the folded bf16 path: their
-        # centered codes can exceed int8 range.  Activations must also fit
-        # int8 after the L/2 recentering, i.e. act_bit <= 8 — wider acts
-        # (a supported QuantConfig knob) would silently wrap on the cast.
-        if (mode.int8 and mode.a_quant and not mode.calib_a
-                and not mode.w_quant and not mode.training
-                and not mode.capture and not self.disable_act_quant
-                and self.wq.n_bits <= 7 and self.aq.n_bits <= 8):
-            return self._int8_forward(x, bias, mode)
+        # gate in int8_conv_serving; ``pre_gn = (scale, bias, swish?)``
+        # additionally fuses the producer GroupNorm(+swish) into the input
+        # quantize+pad pass (ops/pallas_gn.py) — callers may pass it only
+        # when this gate holds (models check the same predicate).
+        if int8_conv_serving(mode, self.wq, self.aq, self.disable_act_quant):
+            return self._int8_forward(x, bias, mode, pre_gn=pre_gn)
+        assert pre_gn is None, "pre_gn requires the int8 serving path"
 
         # --- fused serving path (Pallas quantize+matmul, 1x1 convs) -------
         if (mode.fused and mode.a_quant and not mode.calib_a
@@ -296,7 +343,7 @@ class QConv(nn.Module):
             self.sow("taps", "out", out, reduce_fn=_sow_reduce)
         return out
 
-    def _int8_forward(self, x, bias, mode):
+    def _int8_forward(self, x, bias, mode, pre_gn=None):
         """Serving forward on integer weights: quantize the input to int8,
         run the convolution on the MXU's int8 mode with int32 accumulation,
         and dequantize in a fused f32 epilogue.
@@ -307,8 +354,13 @@ class QConv(nn.Module):
         Split layers run one conv per half and sum epilogues.  ``SAME``
         padding is applied manually with pad value −c (the int8 code of
         x = 0) before a VALID conv.
+
+        ``pre_gn = (scale, bias, swish?)``: the producer GroupNorm(+swish)
+        runs fused with the quantize+pad in one Pallas HBM pass
+        (ops/pallas_gn.py) instead of as separate XLA passes.
         """
         in_ch = x.shape[-1]
+        assert pre_gn is None or self.split == 0
         halves = ([(0, self.split, "w0", "act_quantizer"),
                    (self.split, in_ch, "w1", "act_quantizer_1")]
                   if self.split > 0 else [(0, in_ch, "w0", "act_quantizer")])
@@ -335,10 +387,22 @@ class QConv(nn.Module):
             w_delta = self.variable(
                 "quant", f"{name}_delta",
                 lambda: jnp.ones((1, 1, 1, self.features), jnp.float32))
-            qs, c = _quantize_act_int8(x[..., s:e], d, zp, n_lv)
-            if pads != ((0, 0), (0, 0)):
-                qs = jnp.pad(qs, ((0, 0), pads[0], pads[1], (0, 0)),
-                             constant_values=(-c).astype(jnp.int8))
+            if pre_gn is not None:
+                from ..ops.pallas_gn import gn_swish_int8
+                from ..ops.pallas_softmax import pallas_interpret
+                gn_scale, gn_bias, gn_swish = pre_gn
+                qs, c = gn_swish_int8(x, gn_scale, gn_bias, d, zp, n_lv,
+                                      pads, swish=gn_swish,
+                                      interpret=pallas_interpret())
+            else:
+                xs = x[..., s:e]
+                if pads != ((0, 0), (0, 0)):
+                    # pad in x-space (zero ↦ code −c, bit-identical to
+                    # padding the codes with −c) so the pad fuses into the
+                    # elementwise quantize chain — padding the int8 codes
+                    # instead costs a separate full read+write pass per conv
+                    xs = jnp.pad(xs, ((0, 0), pads[0], pads[1], (0, 0)))
+                qs, c = _quantize_act_int8(xs, d, zp, n_lv)
             acc = jax.lax.conv_general_dilated(
                 qs, w_int.value, window_strides=(sh, sw), padding="VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -399,10 +463,7 @@ class QDense(nn.Module):
             self.sow("taps", "in", x, reduce_fn=_sow_reduce)
 
         # --- native int8 serving path (see QConv._int8_forward) -----------
-        if (mode.int8 and mode.a_quant and not mode.calib_a
-                and not mode.w_quant and not mode.training
-                and not mode.capture and not self.disable_act_quant
-                and self.wq.n_bits <= 7 and self.aq.n_bits <= 8):
+        if int8_conv_serving(mode, self.wq, self.aq, self.disable_act_quant):
             d, zp = ActQuantizer(self.aq, name="act_quantizer")(
                 x, mode, params_only=True)
             w_int = self.variable(
@@ -453,10 +514,13 @@ class QDense(nn.Module):
 
 
 def group_norm(num_groups: int = 32, eps: float = 1e-6,
-               name: Optional[str] = None) -> nn.GroupNorm:
+               name: Optional[str] = None) -> GNorm:
     """GroupNorm(32, eps=1e-6) as used by every norm in both model zoos
-    (ddim/models/diffusion.py:32-33, ldm openaimodel normalization)."""
-    return nn.GroupNorm(num_groups=num_groups, epsilon=eps, name=name)
+    (ddim/models/diffusion.py:32-33, ldm openaimodel normalization).
+
+    Returns :class:`GNorm` — nn.GroupNorm-compatible params, carrier-dtype
+    output (see GNorm docstring)."""
+    return GNorm(num_groups=num_groups, eps=eps, name=name)
 
 
 def swish(x: jnp.ndarray) -> jnp.ndarray:

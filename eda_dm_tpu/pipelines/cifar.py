@@ -173,8 +173,16 @@ class CifarPipeline:
 
     # ------------------------------------------------------------------
     def sampler_fn(self, variables, mode: QuantMode = WAQ):
+        # serving trees carry bf16 params: feed the UNet its carrier dtype
+        # (an f32 input would promote every layer back to f32 and double
+        # the activation HBM traffic); the sampler's own update math stays
+        # in the caller's dtype.  No-op for f32 (WAQ/calib) trees.
+        from ..quant.export import carrier_dtype
+        ct = carrier_dtype(variables)
+
         def model_fn(x, t):
-            return self.model.apply(variables, x, t, mode)
+            out = self.model.apply(variables, x.astype(ct), t, mode)
+            return out.astype(x.dtype)
         return model_fn
 
     def sample_batch(self, variables, key, batch_size: Optional[int] = None,

@@ -355,8 +355,15 @@ class LDMPipeline:
         x_T = jax.random.normal(
             k_noise, (bs, res, res, self.mc.unet.in_channels))
 
+        # serving trees carry bf16 UNet params: feed the UNet its carrier
+        # dtype so the activations don't promote back to f32 (see
+        # quant/export.py::carrier_dtype); sampler math stays f32
+        from ..quant.export import carrier_dtype
+        ct = carrier_dtype(variables["unet"])
         apply_fn = lambda x, t, c: self.ld.apply_model(
-            variables["unet"], x, t, context=c, mode=mode)
+            variables["unet"], x.astype(ct), t,
+            context=(None if c is None else c.astype(ct)),
+            mode=mode).astype(x.dtype)
         model_fn = cfg_model_fn(apply_fn, context, uncond,
                                 cfg.scale if self.is_conditional else 1.0)
         if cfg.sampler == "dpm":

@@ -28,6 +28,21 @@ DEPLOY_FUSED = QuantMode(a_quant=True, fused=True)
 DEPLOY_INT8 = QuantMode(a_quant=True, int8=True)
 
 
+def carrier_dtype(variables: Dict[str, Any]):
+    """The serving carrier dtype: the floating dtype of the (folded) params
+    (bf16 for ``export_serving``/``export_serving_int8`` defaults, f32 for
+    ``fold_quantized_weights`` or un-exported trees).
+
+    Samplers cast the *model input* to this dtype at serving time — with an
+    f32 input every layer promotes back to f32 (lax dtype promotion) and the
+    bf16 carrier silently never materializes; the denoising update math
+    itself stays f32.
+    """
+    leaves = [l for l in jax.tree_util.tree_leaves(variables.get("params", {}))
+              if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)]
+    return leaves[0].dtype if leaves else jnp.float32
+
+
 def fold_quantized_weights(variables: Dict[str, Any],
                            qc: QuantConfig) -> Dict[str, Any]:
     """Replace every quantized layer's kernel with its (hard-rounded)

@@ -14,7 +14,10 @@ timeout 3000 python scripts/perf_ldm.py --task bedroom --quick-calib \
 timeout 3000 python scripts/perf_ldm.py --task bedroom --quick-calib \
     --skip-recon --serve int8 --sample-batches 2 2>&1 | tail -20
 
-# 2. ImageNet: recon (round-2 calib state already in $S/imagenet) + sampling
+# 2. ImageNet: full phase-split matrix (TDAC + scale init, then recon,
+#    then int8 sampling; calib state handed off via $S/imagenet)
+timeout 9000 python scripts/perf_ldm.py --task imagenet --phase calib \
+    --traj-batch 32 2>&1 | tail -10
 timeout 9000 python scripts/perf_ldm.py --task imagenet --phase recon \
     --iters 50 2>&1 | tail -40
 timeout 3000 python scripts/perf_ldm.py --task imagenet --phase sample \
@@ -35,5 +38,9 @@ timeout 9000 python scripts/perf_ldm.py --task coco --phase recon \
     --iters 50 2>&1 | tail -40
 timeout 3000 python scripts/perf_ldm.py --task coco --phase sample \
     --serve int8 --sample-batches 2 2>&1 | tail -10
+
+# 5. End-metric gate for the grouped-recon deviations (VERDICT item 4)
+timeout 7200 python scripts/gate_recon_deviations.py --iters 1000 \
+    2>&1 | tail -20
 
 echo "=== R3 PRODUCTION QUEUE DONE ==="
