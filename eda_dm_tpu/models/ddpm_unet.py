@@ -32,22 +32,16 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..quant.config import QuantConfig, QuantMode, QuantizerSpec
-import os
-
 from ..ops.int8_einsum import (int8_attention_serving, int8_act_einsum,
                                int8_code_einsum, quantize_act_int8)
 from ..ops.pallas_softmax import softmax_int8_codes, pallas_interpret
 from ..ops.pallas_attention import (int8_fused_attention,
                                     fused_attention_applicable)
-from ..ops.pallas_gn import fused_gn_applicable, gn_norm
+from ..ops.pallas_gn import (fused_gn_applicable, fused_gn_enabled as
+                             _fused_gn_enabled, gn_norm)
 from ..nn.layers import (QConv, QDense, ActQuantizer, GNorm, group_norm,
                          int8_conv_serving, swish, timestep_embedding,
                          _sow_reduce)
-
-
-def _fused_gn_enabled() -> bool:
-    """Kill-switch for the fused GN serving kernel (on-chip debugging)."""
-    return os.environ.get("EDM_FUSED_GN", "1") != "0"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -42,18 +42,31 @@ from ..ops.int8_einsum import (int8_attention_serving, int8_act_einsum,
                                int8_code_einsum, quantize_act_int8)
 from ..ops.pallas_softmax import softmax_int8_codes, pallas_interpret
 from ..ops.pallas_attention import (int8_fused_attention_heads,
-                                    fused_attention_applicable)
+                                    int8_flash_attention_heads,
+                                    fused_attention_applicable,
+                                    flash_attention_applicable)
 
 
 def _fused_narrow_attention(s: int, c: int) -> bool:
-    """Fused attention for the LDM zoos' narrow (32/64-channel) heads:
+    """Fused attention for the LDM zoos' narrow (32/24-channel) heads:
     128-aligned widths qualify unconditionally; narrower lanes only once
     validated on the target chip (set EDM_FUSED_ATTN_NARROW=1)."""
     import os
     narrow = os.environ.get("EDM_FUSED_ATTN_NARROW", "0") == "1"
     return fused_attention_applicable(s, c, narrow_lanes=narrow)
-from ..nn.layers import (QConv, QDense, ActQuantizer, group_norm, swish,
-                         timestep_embedding, _sow_reduce)
+
+
+def _flash_narrow_attention(sq: int, skv: int, c: int) -> bool:
+    """Two-pass tiled kernel for attention whose logits exceed VMEM (SD's
+    4096 tokens, LDM 1024 at production batch) — same narrow-lane gate."""
+    import os
+    narrow = os.environ.get("EDM_FUSED_ATTN_NARROW", "0") == "1"
+    return flash_attention_applicable(sq, skv, c, narrow_lanes=narrow)
+from ..ops.pallas_gn import (fused_gn_applicable, fused_gn_enabled as
+                             _fused_gn_enabled, gn_norm)
+from ..nn.layers import (QConv, QDense, ActQuantizer, GNorm, group_norm,
+                         int8_conv_serving, swish, timestep_embedding,
+                         _sow_reduce)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -217,27 +230,49 @@ class ResBlockL(nn.Module):
         if mode.capture:
             self.sow("taps", "block_in", x, reduce_fn=_sow_reduce)
         in_ch = x.shape[-1]
-        h = swish(group_norm(name="in_layers_0")(x))
+        # int8 serving: producer GN(+swish) fuses into the conv's input
+        # quantize+pad Pallas pass (ops/pallas_gn.py; no-op change for
+        # up/down blocks where a resample sits between GN and conv)
+        int8_path = (int8_conv_serving(mode, self.wq, self.aq)
+                     and _fused_gn_enabled())
+        gn_in = group_norm(name="in_layers_0")
+        if (int8_path and self.updown == ""
+                and fused_gn_applicable(*x.shape[1:])):
+            h = QConv(self.out_ch, (3, 3), wq=self.wq, aq=self.aq,
+                      name="in_layers_2")(
+                          x, mode, pre_gn=(*gn_in(x, params_only=True), True))
+        else:
+            h = swish(gn_in(x))
+            if self.updown == "up":
+                h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
+            elif self.updown == "down":
+                h = nn.avg_pool(h, (2, 2), strides=(2, 2))
+            h = QConv(self.out_ch, (3, 3), wq=self.wq, aq=self.aq,
+                      name="in_layers_2")(h, mode)
         if self.updown == "up":
-            h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
             x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
         elif self.updown == "down":
-            h = nn.avg_pool(h, (2, 2), strides=(2, 2))
             x = nn.avg_pool(x, (2, 2), strides=(2, 2))
-        h = QConv(self.out_ch, (3, 3), wq=self.wq, aq=self.aq,
-                  name="in_layers_2")(h, mode)
         emb_dim = 2 * self.out_ch if self.use_scale_shift_norm else self.out_ch
         emb_out = QDense(emb_dim, wq=self.wq, aq=self.aq,
                          name="emb_layers_1")(swish(emb), mode)
+        gn_out = group_norm(name="out_layers_0")
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out[:, None, None, :], 2, axis=-1)
-            h = group_norm(name="out_layers_0")(h) * (1 + scale) + shift
+            h = gn_out(h) * (1 + scale) + shift
             h = swish(h)
+            h = QConv(self.out_ch, (3, 3), wq=self.wq, aq=self.aq,
+                      name="out_layers_3")(h, mode)
         else:
             h = h + emb_out[:, None, None, :]
-            h = swish(group_norm(name="out_layers_0")(h))
-        h = QConv(self.out_ch, (3, 3), wq=self.wq, aq=self.aq,
-                  name="out_layers_3")(h, mode)
+            if int8_path and fused_gn_applicable(*h.shape[1:]):
+                h = QConv(self.out_ch, (3, 3), wq=self.wq, aq=self.aq,
+                          name="out_layers_3")(
+                              h, mode,
+                              pre_gn=(*gn_out(h, params_only=True), True))
+            else:
+                h = QConv(self.out_ch, (3, 3), wq=self.wq, aq=self.aq,
+                          name="out_layers_3")(swish(gn_out(h)), mode)
         if in_ch != self.out_ch:
             aq_skip = self.aq_last or self.aq
             if self.use_conv_skip:
@@ -280,9 +315,17 @@ class AttentionBlockL(nn.Module):
             self.sow("taps", "block_in", x, reduce_fn=_sow_reduce)
         b, hh, ww, c = x.shape
         t_len = hh * ww
-        xs = x.reshape(b, t_len, c)
+        gn = group_norm(name="norm")
+        if (int8_attention_serving(mode) and _fused_gn_enabled()
+                and fused_gn_applicable(hh, ww, c)):
+            # one-HBM-pass GN (GN is per-(sample, group) — spatial layout
+            # is irrelevant, so normalize the 4-D view and flatten after)
+            xs = gn_norm(x, *gn(x, params_only=True),
+                         interpret=pallas_interpret()).reshape(b, t_len, c)
+        else:
+            xs = gn(x.reshape(b, t_len, c))
         qkv = QDense(3 * c, wq=self.wq, aq=self.aq,
-                     name="qkv")(group_norm(name="norm")(xs), mode)
+                     name="qkv")(xs, mode)
         ch = c // self.num_heads
         # torch channel layout: heads × (q|k|v) × ch (QKVAttentionLegacy:384)
         qkv = qkv.reshape(b, t_len, self.num_heads, 3, ch)
@@ -304,15 +347,20 @@ class AttentionBlockL(nn.Module):
                 jnp.zeros((), x.dtype), mode, params_only=True)
             dv, zv = ActQuantizer(self.aq, name="act_quantizer_v")(
                 v, mode, params_only=True)
-            if _fused_narrow_attention(t_len, ch):
-                # whole per-head attention stays in VMEM; the (b,h,t,s)
-                # logits are never materialized (ops/pallas_attention.py,
-                # heads layout — narrow lanes gated on on-chip validation
-                # via EDM_FUSED_ATTN_NARROW)
+            if (_fused_narrow_attention(t_len, ch)
+                    or _flash_narrow_attention(t_len, t_len, ch)):
+                # the (b,h,t,s) logits are never materialized in HBM
+                # (ops/pallas_attention.py, heads layout): whole-in-VMEM
+                # kernel for small S, two-pass tiled kernel otherwise —
+                # narrow lanes gated on on-chip validation
+                # (EDM_FUSED_ATTN_NARROW)
                 Qc, cq = quantize_act_int8(q, dq, zq, self.aq.n_levels)
                 Kc, ck = quantize_act_int8(k, dk, zk, self.aq.n_levels)
                 V, cv = quantize_act_int8(v, dv, zv, self.aq.n_levels)
-                a = int8_fused_attention_heads(
+                attn_fn = (int8_fused_attention_heads
+                           if _fused_narrow_attention(t_len, ch)
+                           else int8_flash_attention_heads)
+                a = attn_fn(
                     Qc, cq, dq, Kc, ck, dk, V, cv, dv, 1.0,
                     dw, zw, self.aq_w.n_levels,
                     interpret=pallas_interpret())
@@ -389,20 +437,32 @@ class CrossAttentionL(nn.Module):
                 q, mode, params_only=True)
             dk, zk = ActQuantizer(self.aq, name="act_quantizer_k")(
                 k, mode, params_only=True)
-            sim = int8_act_einsum("bihd,bjhd->bhij",
-                                  q, (dq, zq, self.aq.n_levels),
-                                  k, (dk, zk, self.aq.n_levels)) \
-                * (self.dim_head ** -0.5)
             dw, zw = ActQuantizer(self.aq_w, name="act_quantizer_w")(
-                sim, mode, params_only=True)
+                jnp.zeros((), x.dtype), mode, params_only=True)
             dv, zv = ActQuantizer(self.aq, name="act_quantizer_v")(
                 v, mode, params_only=True)
-            # fused softmax→codes (ops/pallas_softmax.py); handles the
-            # 77-token CLIP context via in-kernel masking
-            W, cw = softmax_int8_codes(sim, dw, zw, self.aq_w.n_levels,
-                                       interpret=pallas_interpret())
-            V, cv = quantize_act_int8(v, dv, zv, self.aq.n_levels)
-            out = int8_code_einsum("bhij,bjhd->bihd", W, cw, dw, V, cv, dv)
+            if _flash_narrow_attention(n, m, self.dim_head):
+                # SD self-attention (64² = 4096 tokens): the (b,h,i,j)
+                # logits never touch HBM — two-pass tiled kernel
+                Qc, cq = quantize_act_int8(q, dq, zq, self.aq.n_levels)
+                Kc, ck = quantize_act_int8(k, dk, zk, self.aq.n_levels)
+                V, cv = quantize_act_int8(v, dv, zv, self.aq.n_levels)
+                out = int8_flash_attention_heads(
+                    Qc, cq, dq, Kc, ck, dk, V, cv, dv,
+                    self.dim_head ** -0.5, dw, zw, self.aq_w.n_levels,
+                    interpret=pallas_interpret())
+            else:
+                sim = int8_act_einsum("bihd,bjhd->bhij",
+                                      q, (dq, zq, self.aq.n_levels),
+                                      k, (dk, zk, self.aq.n_levels)) \
+                    * (self.dim_head ** -0.5)
+                # fused softmax→codes (ops/pallas_softmax.py); handles the
+                # 77-token CLIP context via in-kernel masking
+                W, cw = softmax_int8_codes(sim, dw, zw, self.aq_w.n_levels,
+                                           interpret=pallas_interpret())
+                V, cv = quantize_act_int8(v, dv, zv, self.aq.n_levels)
+                out = int8_code_einsum("bhij,bjhd->bihd",
+                                       W, cw, dw, V, cv, dv)
         else:
             q = ActQuantizer(self.aq, name="act_quantizer_q")(q, mode)
             k = ActQuantizer(self.aq, name="act_quantizer_k")(k, mode)
@@ -501,9 +561,16 @@ class SpatialTransformerL(nn.Module):
             self.sow("taps", "block_in", x, reduce_fn=_sow_reduce)
         b, hh, ww, c = x.shape
         inner = self.heads * self.dim_head
-        h = group_norm(name="norm")(x)
-        h = QConv(inner, (1, 1), padding="VALID", wq=self.wq, aq=self.aq,
-                  name="proj_in")(h, mode)
+        gn = group_norm(name="norm")
+        if (int8_conv_serving(mode, self.wq, self.aq) and _fused_gn_enabled()
+                and fused_gn_applicable(hh, ww, c)):
+            # GN (no swish) fuses into proj_in's input quantize pass
+            h = QConv(inner, (1, 1), padding="VALID", wq=self.wq, aq=self.aq,
+                      name="proj_in")(
+                          x, mode, pre_gn=(*gn(x, params_only=True), False))
+        else:
+            h = QConv(inner, (1, 1), padding="VALID", wq=self.wq, aq=self.aq,
+                      name="proj_in")(gn(x), mode)
         h = h.reshape(b, hh * ww, inner)
         for d in range(self.depth):
             h = BasicTransformerBlockL(
@@ -600,7 +667,7 @@ class LDMUNet(nn.Module):
             it.key: make(it, aq_last=aq_m2 if it.key == last_key else None)
             for it in self.layout.output_blocks}
         self.out = {
-            "0": nn.GroupNorm(num_groups=32, epsilon=1e-6),
+            "0": GNorm(),
             "2": QConv(cfg.out_channels, (3, 3), wq=wq.with_bits(8), aq=aq,
                        disable_act_quant=True),
         }
@@ -647,7 +714,12 @@ class LDMUNet(nn.Module):
             h = jnp.concatenate([h, hs.pop()], axis=-1)
             h = run(grouped_out[i], self.output_blocks, h)
 
-        h = swish(self.out["0"](h))
+        if (int8_attention_serving(mode) and _fused_gn_enabled()
+                and fused_gn_applicable(*h.shape[1:])):
+            h = gn_norm(h, *self.out["0"](h, params_only=True), swish=True,
+                        interpret=pallas_interpret())
+        else:
+            h = swish(self.out["0"](h))
         return self.out["2"](h, mode)
 
 

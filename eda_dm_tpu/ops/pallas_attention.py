@@ -60,7 +60,11 @@ def fused_attention_applicable(s: int, c: int,
 
 
 def _kernel(q_ref, k_ref, v_ref, sc_ref, o_ref, *, s: int, c: int,
-            n_levels_w: int, heads: bool = False):
+            n_levels_w: int):
+    # refs are (S, C): all grid dims are squeezed out of the block shapes —
+    # keeping a singleton in the sublane position forces Mosaic into
+    # (1, 128) tiling with ~8-32x VMEM padding (observed scoped-vmem OOM
+    # at LDM shapes)
     # sc: [cq, ck, cv, logit_scale(=dq·dk·attn_scale), dw, zw, dwdv]
     cq = sc_ref[0]
     ck = sc_ref[1]
@@ -70,14 +74,9 @@ def _kernel(q_ref, k_ref, v_ref, sc_ref, o_ref, *, s: int, c: int,
     zw = sc_ref[5]
     dwdv = sc_ref[6]
 
-    if heads:                      # (1, S, 1, C) block of a (B, S, H, C) op
-        q = q_ref[0, :, 0].astype(jnp.bfloat16)
-        k = k_ref[0, :, 0].astype(jnp.bfloat16)
-        v = v_ref[0, :, 0].astype(jnp.bfloat16)
-    else:                          # (1, S, C) block of a (B, S, C) operand
-        q = q_ref[0].astype(jnp.bfloat16)    # (S, C) codes, exact in bf16
-        k = k_ref[0].astype(jnp.bfloat16)
-        v = v_ref[0].astype(jnp.bfloat16)
+    q = q_ref[...].astype(jnp.bfloat16)      # (S, C) codes, exact in bf16
+    k = k_ref[...].astype(jnp.bfloat16)
+    v = v_ref[...].astype(jnp.bfloat16)
 
     acc = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
@@ -99,10 +98,7 @@ def _kernel(q_ref, k_ref, v_ref, sc_ref, o_ref, *, s: int, c: int,
     sum_w = jnp.sum(wc, axis=1, keepdims=True)                      # (S,1)
     sum_v = jnp.sum(v.astype(jnp.float32), axis=0)[None, :]         # (1,C)
     out = (acc2 + cv * sum_w + cw * sum_v + cw * cv * float(s)) * dwdv
-    if heads:
-        o_ref[0, :, 0] = out
-    else:
-        o_ref[0] = out
+    o_ref[...] = out
 
 
 def int8_fused_attention(Q: jnp.ndarray, cq, dq,
@@ -133,24 +129,155 @@ def int8_fused_attention(Q: jnp.ndarray, cq, dq,
          * jnp.asarray(dv, jnp.float32)).reshape(()),
     ])
     kernel = functools.partial(_kernel, s=s, c=c, n_levels_w=n_levels_w)
+    spec = pl.BlockSpec((None, s, c), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, s, c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((1, s, c), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=[spec, spec, spec,
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((b, s, c), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * s * s * c, bytes_accessed=b * (3 * s * c + 4 * s * c),
             transcendentals=b * s * s),
+        interpret=interpret,
+    )(Q, K, V, sc)
+
+
+def flash_attention_applicable(sq: int, skv: int, c: int,
+                               narrow_lanes: bool = False) -> bool:
+    """Gate for the two-pass tiled kernel: whole K/V for one (batch, head)
+    stay in VMEM (int8 codes — tiny even at SD's 4096 tokens × 160
+    channels), logits are tiled.  Requires tileable lengths; the 77-token
+    CLIP context keeps the unfused path (its logits are small anyway)."""
+    tq, tk = min(sq, 256), min(skv, 512)
+    if sq % tq != 0 or skv % tk != 0 or skv % 128 != 0:
+        return False
+    if c % 128 != 0 and not (narrow_lanes and c % 8 == 0):
+        return False
+    # K + V codes resident + f32 q/acc/logits-chunk tiles
+    bytes_needed = 2 * skv * c + 4 * tq * c * 3 + 4 * tq * tk
+    return bytes_needed <= 6 * 1024 * 1024
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, sc_ref, o_ref, *, sq: int, skv: int,
+                  c: int, tq: int, tk: int, n_levels_w: int):
+    cq = sc_ref[0]
+    ck = sc_ref[1]
+    cv = sc_ref[2]
+    lsc = sc_ref[3]
+    dw = sc_ref[4]
+    zw = sc_ref[5]
+    dwdv = sc_ref[6]
+
+    # refs are (TQ, C) / (SKV, C): grid dims squeezed from the blocks (a
+    # singleton in the sublane position forces (1, 128) tiling and ~8-32x
+    # VMEM padding — observed scoped-vmem OOM at LDM shapes)
+    q = q_ref[...].astype(jnp.bfloat16)                       # (TQ, C)
+    sum_q = jnp.sum(q.astype(jnp.float32), axis=1, keepdims=True)
+    nk = skv // tk
+
+    def logits_chunk(j):
+        k = k_ref[pl.ds(j * tk, tk), :].astype(jnp.bfloat16)
+        acc = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        sum_k = jnp.sum(k.astype(jnp.float32), axis=1)[None, :]
+        return (acc + ck * sum_q + cq * sum_k + cq * ck * float(c)) * lsc
+
+    # pass 1: global row max + normalizer (running, flash-style)
+    def p1(j, carry):
+        m, l = carry
+        lg = logits_chunk(j)
+        m2 = jnp.maximum(m, jnp.max(lg, axis=1, keepdims=True))
+        l = l * jnp.exp(m - m2) + jnp.sum(jnp.exp(lg - m2), axis=1,
+                                          keepdims=True)
+        return m2, l
+
+    m, l = jax.lax.fori_loop(
+        0, nk, p1, (jnp.full((tq, 1), -1e30, jnp.float32),
+                    jnp.zeros((tq, 1), jnp.float32)))
+
+    # pass 2: exact final probabilities → sm_abit codes → code·V product.
+    # Quantization happens on the *final* softmax values (identical
+    # placement to the unfused softmax_int8_codes chain) — a rescaled
+    # one-pass accumulation would quantize pre-rescaling values instead.
+    hi = float(n_levels_w - 1)
+    cw = n_levels_w / 2 - zw
+
+    def p2(j, carry):
+        acc, sw = carry
+        lg = logits_chunk(j)
+        w = jnp.exp(lg - m) / l
+        wc = jnp.clip(jnp.round(w / dw), -zw, hi - zw) - cw
+        v = v_ref[pl.ds(j * tk, tk), :].astype(jnp.bfloat16)
+        acc = acc + jax.lax.dot_general(wc.astype(jnp.bfloat16), v,
+                                        (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+        sw = sw + jnp.sum(wc, axis=1, keepdims=True)
+        return acc, sw
+
+    acc, sw = jax.lax.fori_loop(
+        0, nk, p2, (jnp.zeros((tq, c), jnp.float32),
+                    jnp.zeros((tq, 1), jnp.float32)))
+    sum_v = jnp.sum(v_ref[...].astype(jnp.float32), axis=0)[None, :]
+    out = (acc + cv * sw + cw * sum_v + cw * cv * float(skv)) * dwdv
+    o_ref[...] = out
+
+
+def int8_flash_attention_heads(Q: jnp.ndarray, cq, dq,
+                               K: jnp.ndarray, ck, dk,
+                               V: jnp.ndarray, cv, dv,
+                               attn_scale: float,
+                               dw, zw, n_levels_w: int,
+                               interpret: bool = False) -> jnp.ndarray:
+    """Two-pass tiled ("flash") int8 attention, heads layout.
+
+    Q: (B, SQ, H, C) centered int8 codes; K/V: (B, SKV, H, C).  Unlike
+    ``int8_fused_attention_heads`` the (SQ, SKV) logits never exist even in
+    VMEM as a whole — pass 1 computes the global row max/normalizer over
+    KV tiles, pass 2 re-computes each logits tile, takes exact final
+    softmax values, quantizes to sm_abit codes and accumulates the code·V
+    product.  Semantics match the unfused chain (int8_code_einsum →
+    softmax_int8_codes → int8_code_einsum) up to f32 association.
+
+    This is the serving path for big-S attention (SD's 64² = 4096 tokens,
+    LDM 32² = 1024 at batch 50) where materializing int32/f32 logits in
+    HBM both OOMs and saturates HBM bandwidth.
+    """
+    b, sq, h, c = Q.shape
+    skv = K.shape[1]
+    tq = min(sq, 256)
+    tk = min(skv, 512)
+    assert sq % tq == 0 and skv % tk == 0
+    sc = jnp.stack([
+        jnp.asarray(cq, jnp.float32).reshape(()),
+        jnp.asarray(ck, jnp.float32).reshape(()),
+        jnp.asarray(cv, jnp.float32).reshape(()),
+        (jnp.asarray(dq, jnp.float32) * jnp.asarray(dk, jnp.float32)
+         * attn_scale).reshape(()),
+        jnp.asarray(dw, jnp.float32).reshape(()),
+        jnp.asarray(zw, jnp.float32).reshape(()),
+        (jnp.asarray(dw, jnp.float32)
+         * jnp.asarray(dv, jnp.float32)).reshape(()),
+    ])
+    kernel = functools.partial(_flash_kernel, sq=sq, skv=skv, c=c, tq=tq,
+                               tk=tk, n_levels_w=n_levels_w)
+    q_spec = pl.BlockSpec((None, tq, None, c), lambda i, j, t: (i, t, j, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((None, skv, None, c), lambda i, j, t: (i, 0, j, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h, sq // tq),
+        in_specs=[q_spec, kv_spec, kv_spec,
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((b, sq, h, c), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq * skv * c,
+            bytes_accessed=b * h * (3 * skv * c + 8 * sq * c),
+            transcendentals=2 * b * h * sq * skv),
         interpret=interpret,
     )(Q, K, V, sc)
 
@@ -177,9 +304,8 @@ def int8_fused_attention_heads(Q: jnp.ndarray, cq, dq,
         (jnp.asarray(dw, jnp.float32)
          * jnp.asarray(dv, jnp.float32)).reshape(()),
     ])
-    kernel = functools.partial(_kernel, s=s, c=c, n_levels_w=n_levels_w,
-                               heads=True)
-    spec = pl.BlockSpec((1, s, 1, c), lambda i, j: (i, 0, j, 0),
+    kernel = functools.partial(_kernel, s=s, c=c, n_levels_w=n_levels_w)
+    spec = pl.BlockSpec((None, s, None, c), lambda i, j: (i, 0, j, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,

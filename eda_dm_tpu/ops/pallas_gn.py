@@ -25,6 +25,7 @@ bit-closely (the downstream 8-bit clip absorbs sub-ulp differences).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -33,10 +34,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def fused_gn_enabled() -> bool:
+    """Kill-switch for the fused GN serving kernel (on-chip debugging)."""
+    return os.environ.get("EDM_FUSED_GN", "1") != "0"
+
+
 def fused_gn_applicable(h: int, w: int, c: int, num_groups: int = 32) -> bool:
     """One batch element must fit VMEM with f32 headroom and the channel
-    (lane) dimension must be 128-aligned (Mosaic tiling)."""
-    if c % 128 != 0 or c % num_groups != 0:
+    (lane) dimension must be MXU/VPU-tileable.
+
+    128-aligned widths qualify unconditionally; narrower/odd widths (the
+    LDM zoos' 224/448/672/896 families) are logically correct — Mosaic pads
+    the lane dimension internally — but admitted only behind
+    EDM_FUSED_GN_NARROW=1 until the padding's throughput is validated on
+    the target chip."""
+    if c % num_groups != 0:
+        return False
+    if c % 128 != 0 and not (
+            os.environ.get("EDM_FUSED_GN_NARROW", "0") == "1"
+            and c % 8 == 0):
         return False
     if (h * w) % 8 != 0:
         return False

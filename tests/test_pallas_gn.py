@@ -153,3 +153,70 @@ def test_ddpm_int8_serving_fused_gn_matches_unfused(monkeypatch):
                                np.asarray(ref, np.float32), atol=0.1)
     assert np.abs(np.asarray(out, np.float32)
                   - np.asarray(ref, np.float32)).mean() < 1e-2
+
+
+def _calib_ldm_resblock(out_ch, in_shape, use_scale_shift=False):
+    from eda_dm_tpu.models.ldm_unet import ResBlockL
+    from eda_dm_tpu.quant import QuantConfig, QuantMode, FP
+    from eda_dm_tpu.quant.export import export_serving_int8
+
+    qc = QuantConfig(weight_bit=4, act_bit=8)
+    blk = ResBlockL(out_ch, qc.wq, qc.aq, use_scale_shift_norm=use_scale_shift)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, in_shape) * 1.4 + 0.2
+    emb = jax.random.normal(key, (in_shape[0], 4 * out_ch))
+    variables = blk.init(key, x, emb, FP)
+    _, upd = blk.apply(variables, x, emb,
+                       QuantMode(w_quant=True, calib_w=True),
+                       mutable=["quant"])
+    variables = {**variables, "quant": upd["quant"]}
+    _, upd = blk.apply(variables, x, emb,
+                       QuantMode(w_quant=True, a_quant=True, calib_a=True),
+                       mutable=["quant"])
+    variables = {**variables, "quant": upd["quant"]}
+    return blk, export_serving_int8(variables, qc), x, emb
+
+
+@pytest.mark.parametrize("c", [128, 224])
+def test_ldm_resblock_fused_gn_matches_unfused(monkeypatch, c):
+    """LDM ResBlock int8 serving with fused GN == unfused (224 exercises
+    the narrow-lane path behind EDM_FUSED_GN_NARROW)."""
+    from eda_dm_tpu.quant.export import DEPLOY_INT8
+
+    blk, serving, x, emb = _calib_ldm_resblock(c, (2, 8, 8, c))
+    monkeypatch.setenv("EDM_FUSED_GN_NARROW", "1")
+    monkeypatch.setenv("EDM_FUSED_GN", "0")
+    ref = blk.apply(serving, x, emb, DEPLOY_INT8)
+    monkeypatch.setenv("EDM_FUSED_GN", "1")
+    out = blk.apply(serving, x, emb, DEPLOY_INT8)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ldm_attention_block_fused_gn(monkeypatch):
+    from eda_dm_tpu.models.ldm_unet import AttentionBlockL
+    from eda_dm_tpu.quant import QuantConfig, QuantMode, FP
+    from eda_dm_tpu.quant.export import export_serving_int8, DEPLOY_INT8
+
+    qc = QuantConfig(weight_bit=4, act_bit=8)
+    blk = AttentionBlockL(num_heads=4, wq=qc.wq, aq=qc.aq,
+                          aq_w=qc.aq_softmax(always_zero=True))
+    key = jax.random.PRNGKey(1)
+    x = jax.random.normal(key, (2, 8, 8, 128))
+    variables = blk.init(key, x, FP)
+    _, upd = blk.apply(variables, x, QuantMode(w_quant=True, calib_w=True),
+                       mutable=["quant"])
+    variables = {**variables, "quant": upd["quant"]}
+    _, upd = blk.apply(variables, x,
+                       QuantMode(w_quant=True, a_quant=True, calib_a=True),
+                       mutable=["quant"])
+    variables = {**variables, "quant": upd["quant"]}
+    serving = export_serving_int8(variables, qc)
+    monkeypatch.setenv("EDM_FUSED_GN", "0")
+    ref = blk.apply(serving, x, DEPLOY_INT8)
+    monkeypatch.setenv("EDM_FUSED_GN", "1")
+    out = blk.apply(serving, x, DEPLOY_INT8)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=1e-4, atol=1e-4)
