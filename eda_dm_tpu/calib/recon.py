@@ -98,11 +98,15 @@ class ReconArgs:
     capture_budget_bytes: int = 6_000_000_000
     # share ONE capture executable per mode across the whole plan (the
     # jitted program returns every plan target's taps; each group selects
-    # its subset outside the jit).  Cold capture compiles dominated
-    # production recon (PERF.md); sharing trades them for the un-DCE'd
-    # model suffix per capture batch.  False = per-group programs with
-    # full suffix/tap DCE (round-2 behaviour, minimal transient memory).
-    shared_capture: bool = True
+    # its subset outside the jit).  Trades cold capture compiles for the
+    # un-DCE'd model suffix AND the whole universe's tap materialization
+    # per capture batch.  MEASURED REGRESSION at LDM scale (PERF.md round
+    # 3): the church plan (~65 targets) pays multi-GB of universe-tap HBM
+    # writes + readback syncs per capture — 700-990 s/target vs the
+    # ~100 s/target of per-group programs — so this is OFF by default;
+    # cold compiles are instead absorbed by the persistent compilation
+    # cache across runs.  Consider only for small plans with few taps.
+    shared_capture: bool = False
 
 
 # --------------------------------------------------------------------------

@@ -104,10 +104,14 @@ def _kernel(sc_ref, s_ref, b_ref, x_ref, o_ref, *, hw: int, c: int,
         if (pt, pb, pl_, pr) == (0, 0, 0, 0):
             o_ref[0] = codes
         else:
+            # build the padded tile as a VALUE and store the whole block
+            # once — a partial-slice store at a sublane offset is exactly
+            # the kind of unaligned int8 access Mosaic mishandles
             pad_code = (-cc).astype(jnp.int8)              # the code of x=0
-            o_ref[0] = jnp.broadcast_to(
-                pad_code, (h + pt + pb, w + pl_ + pr, c))
-            o_ref[0, pt:pt + h, pl_:pl_ + w, :] = codes
+            full = jnp.full((h + pt + pb, w + pl_ + pr, c), pad_code,
+                            jnp.int8)
+            o_ref[0] = jax.lax.dynamic_update_slice(full, codes,
+                                                    (pt, pl_, 0))
     else:
         o_ref[0] = y.reshape(h, w, c).astype(o_ref.dtype)
 

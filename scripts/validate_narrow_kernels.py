@@ -98,6 +98,7 @@ def validate_gn():
               ("bedroom 32x32x448", 8, 32, 32, 448),
               ("bedroom 16x16x672", 8, 16, 16, 672),
               ("church 32x32x192", 8, 32, 32, 192),
+              ("church 16x16x384", 8, 16, 16, 384),    # crash-repro width
               ("cifar 32x32x128", 32, 32, 32, 128)]
     d, zp = jnp.asarray(0.03), jnp.asarray(57.0)
     for name, b, h, w, c in shapes:
