@@ -676,6 +676,12 @@ class LDMUNet(nn.Module):
                  context: Optional[jnp.ndarray] = None,
                  y: Optional[jnp.ndarray] = None,
                  mode: QuantMode = QuantMode()) -> jnp.ndarray:
+        # unconditional tasks never consume `context`, so a QuantMode passed
+        # positionally where DDPMUNet takes its mode (x, t, MODE) would be
+        # silently swallowed and the whole net would run FP — fail loudly
+        if isinstance(context, QuantMode) or isinstance(y, QuantMode):
+            raise TypeError("pass the QuantMode as mode=...; LDMUNet's "
+                            "positional order is (x, t, context, y, mode)")
         cfg = self.cfg
         # carrier dtype follows the input (bf16 on the deployment path)
         emb = timestep_embedding(t, cfg.model_channels).astype(x.dtype)

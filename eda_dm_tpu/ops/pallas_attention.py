@@ -225,18 +225,38 @@ def _flash_kernel(q_ref, k_ref, v_ref, sc_ref, o_ref, *, sq: int, skv: int,
     o_ref[...] = out
 
 
-def int8_flash_attention_heads(Q: jnp.ndarray, cq, dq,
-                               K: jnp.ndarray, ck, dk,
-                               V: jnp.ndarray, cv, dv,
-                               attn_scale: float,
-                               dw, zw, n_levels_w: int,
-                               interpret: bool = False) -> jnp.ndarray:
-    """Two-pass tiled ("flash") int8 attention, heads layout.
+def _heads_to_batched(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, S, H, C) → (B·H, S, C).
 
-    Q: (B, SQ, H, C) centered int8 codes; K/V: (B, SKV, H, C).  Unlike
-    ``int8_fused_attention_heads`` the (SQ, SKV) logits never exist even in
-    VMEM as a whole — pass 1 computes the global row max/normalizer over
-    KV tiles, pass 2 re-computes each logits tile, takes exact final
+    Mosaic constrains the trailing two dims of every block: each must be
+    divisible by (8, 128) or span its whole array dim.  A heads-layout
+    block (None, s, None, c) leaves a squeezed singleton in the sublane
+    position of the trailing (H, C) window — h > 1 with a size-1 block
+    fails to lower (observed on chip for every LDM flavour except
+    imagenet's h=1 AttentionBlock).  Flattening heads into the batch-major
+    grid dim sidesteps the constraint; the transpose is a relayout of int8
+    codes (≤ a few MB at zoo shapes), orders of magnitude cheaper than the
+    (S, S) logits the kernels keep out of HBM."""
+    b, s, h, c = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b * h, s, c)
+
+
+def _batched_to_heads(x: jnp.ndarray, b: int, h: int) -> jnp.ndarray:
+    n, s, c = x.shape
+    return x.reshape(b, h, s, c).transpose(0, 2, 1, 3)
+
+
+def int8_flash_attention(Q: jnp.ndarray, cq, dq,
+                         K: jnp.ndarray, ck, dk,
+                         V: jnp.ndarray, cv, dv,
+                         attn_scale: float,
+                         dw, zw, n_levels_w: int,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Two-pass tiled ("flash") int8 attention, batched (N, S, C) layout.
+
+    Unlike ``int8_fused_attention`` the (SQ, SKV) logits never exist even
+    in VMEM as a whole — pass 1 computes the global row max/normalizer
+    over KV tiles, pass 2 re-computes each logits tile, takes exact final
     softmax values, quantizes to sm_abit codes and accumulates the code·V
     product.  Semantics match the unfused chain (int8_code_einsum →
     softmax_int8_codes → int8_code_einsum) up to f32 association.
@@ -245,7 +265,7 @@ def int8_flash_attention_heads(Q: jnp.ndarray, cq, dq,
     LDM 32² = 1024 at batch 50) where materializing int32/f32 logits in
     HBM both OOMs and saturates HBM bandwidth.
     """
-    b, sq, h, c = Q.shape
+    n, sq, c = Q.shape
     skv = K.shape[1]
     tq = min(sq, 256)
     tk = min(skv, 512)
@@ -263,23 +283,41 @@ def int8_flash_attention_heads(Q: jnp.ndarray, cq, dq,
     ])
     kernel = functools.partial(_flash_kernel, sq=sq, skv=skv, c=c, tq=tq,
                                tk=tk, n_levels_w=n_levels_w)
-    q_spec = pl.BlockSpec((None, tq, None, c), lambda i, j, t: (i, t, j, 0),
+    q_spec = pl.BlockSpec((None, tq, c), lambda i, t: (i, t, 0),
                           memory_space=pltpu.VMEM)
-    kv_spec = pl.BlockSpec((None, skv, None, c), lambda i, j, t: (i, 0, j, 0),
+    kv_spec = pl.BlockSpec((None, skv, c), lambda i, t: (i, 0, 0),
                            memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        grid=(b, h, sq // tq),
+        grid=(n, sq // tq),
         in_specs=[q_spec, kv_spec, kv_spec,
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=q_spec,
-        out_shape=jax.ShapeDtypeStruct((b, sq, h, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, sq, c), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * sq * skv * c,
-            bytes_accessed=b * h * (3 * skv * c + 8 * sq * c),
-            transcendentals=2 * b * h * sq * skv),
+            flops=4 * n * sq * skv * c,
+            bytes_accessed=n * (3 * skv * c + 8 * sq * c),
+            transcendentals=2 * n * sq * skv),
         interpret=interpret,
     )(Q, K, V, sc)
+
+
+def int8_flash_attention_heads(Q: jnp.ndarray, cq, dq,
+                               K: jnp.ndarray, ck, dk,
+                               V: jnp.ndarray, cv, dv,
+                               attn_scale: float,
+                               dw, zw, n_levels_w: int,
+                               interpret: bool = False) -> jnp.ndarray:
+    """Heads-layout front-end for the flash kernel: Q (B, SQ, H, C),
+    K/V (B, SKV, H, C) centered int8 codes → f32 (B, SQ, H, C).  Flattens
+    heads into the batch grid dim (see ``_heads_to_batched``) and runs the
+    (N, S, C) kernel."""
+    b, sq, h, c = Q.shape
+    out = int8_flash_attention(
+        _heads_to_batched(Q), cq, dq, _heads_to_batched(K), ck, dk,
+        _heads_to_batched(V), cv, dv, attn_scale, dw, zw, n_levels_w,
+        interpret=interpret)
+    return _batched_to_heads(out, b, h)
 
 
 def int8_fused_attention_heads(Q: jnp.ndarray, cq, dq,
@@ -289,34 +327,13 @@ def int8_fused_attention_heads(Q: jnp.ndarray, cq, dq,
                                dw, zw, n_levels_w: int,
                                interpret: bool = False) -> jnp.ndarray:
     """Head-layout variant: Q/K/V are (B, S, H, C) centered int8 codes (the
-    LDM ``bthc`` layout).  The grid runs over (batch, head) with per-head
-    blocks indexed straight out of the interleaved layout — no transposed
-    copies are materialized.  Returns f32 (B, S, H, C)."""
+    LDM ``bthc`` layout).  Heads are flattened into the batch grid dim (see
+    ``_heads_to_batched`` — a squeezed head dim inside the trailing block
+    window fails Mosaic's (8, 128) tiling rule) and the (N, S, C) kernel
+    runs per flattened element.  Returns f32 (B, S, H, C)."""
     b, s, h, c = Q.shape
-    sc = jnp.stack([
-        jnp.asarray(cq, jnp.float32).reshape(()),
-        jnp.asarray(ck, jnp.float32).reshape(()),
-        jnp.asarray(cv, jnp.float32).reshape(()),
-        (jnp.asarray(dq, jnp.float32) * jnp.asarray(dk, jnp.float32)
-         * attn_scale).reshape(()),
-        jnp.asarray(dw, jnp.float32).reshape(()),
-        jnp.asarray(zw, jnp.float32).reshape(()),
-        (jnp.asarray(dw, jnp.float32)
-         * jnp.asarray(dv, jnp.float32)).reshape(()),
-    ])
-    kernel = functools.partial(_kernel, s=s, c=c, n_levels_w=n_levels_w)
-    spec = pl.BlockSpec((None, s, None, c), lambda i, j: (i, 0, j, 0),
-                        memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kernel,
-        grid=(b, h),
-        in_specs=[spec, spec, spec,
-                  pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((b, s, h, c), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * s * s * c,
-            bytes_accessed=b * h * (3 * s * c + 4 * s * c),
-            transcendentals=b * h * s * s),
-        interpret=interpret,
-    )(Q, K, V, sc)
+    out = int8_fused_attention(
+        _heads_to_batched(Q), cq, dq, _heads_to_batched(K), ck, dk,
+        _heads_to_batched(V), cv, dv, attn_scale, dw, zw, n_levels_w,
+        interpret=interpret)
+    return _batched_to_heads(out, b, h)

@@ -106,12 +106,22 @@ def _kernel(sc_ref, s_ref, b_ref, x_ref, o_ref, *, hw: int, c: int,
         else:
             # build the padded tile as a VALUE and store the whole block
             # once — a partial-slice store at a sublane offset is exactly
-            # the kind of unaligned int8 access Mosaic mishandles
+            # the kind of unaligned int8 access Mosaic mishandles, and
+            # dynamic_update_slice has no Mosaic lowering at all; rim
+            # blocks are concatenated instead (static shapes, one store)
             pad_code = (-cc).astype(jnp.int8)              # the code of x=0
-            full = jnp.full((h + pt + pb, w + pl_ + pr, c), pad_code,
-                            jnp.int8)
-            o_ref[0] = jax.lax.dynamic_update_slice(full, codes,
-                                                    (pt, pl_, 0))
+            def rim(*shape):
+                return jnp.broadcast_to(pad_code, shape)
+            if pl_ or pr:
+                cols = ([rim(h, pl_, c)] if pl_ else []) + [codes] \
+                    + ([rim(h, pr, c)] if pr else [])
+                codes = jnp.concatenate(cols, axis=1)
+            if pt or pb:
+                wp_ = w + pl_ + pr
+                rows = ([rim(pt, wp_, c)] if pt else []) + [codes] \
+                    + ([rim(pb, wp_, c)] if pb else [])
+                codes = jnp.concatenate(rows, axis=0)
+            o_ref[0] = codes
     else:
         o_ref[0] = y.reshape(h, w, c).astype(o_ref.dtype)
 

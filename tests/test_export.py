@@ -199,3 +199,82 @@ def test_int8_serving_quality_gate():
     # path-to-path drift stays a small fraction of the quantization error
     assert np.median(np.abs(out - ref)) < err_ref * 0.25
     assert np.abs(out - ref).max() < 0.5
+
+
+def _calibrated_tiny_ldm(num_heads=4):
+    """Tiny LDM UNet with multi-head narrow attention (head dim < one lane
+    tile) — the layout whose fused serving kernels route through
+    _heads_to_batched (ops/pallas_attention.py)."""
+    from eda_dm_tpu.models.ldm_unet import LDMUNet, LDMUNetConfig
+
+    cfg = LDMUNetConfig(in_channels=3, out_channels=3, model_channels=32,
+                        num_res_blocks=1, attention_resolutions=(1,),
+                        channel_mult=(1, 2), num_heads=num_heads,
+                        image_size=16)
+    qc = QuantConfig(weight_bit=4, act_bit=8)
+    model = LDMUNet(cfg=cfg, qc=qc)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 16, 16, 3))
+    t = jnp.full((2,), 10.0)
+    variables = model.init(key, x, t, mode=FP)
+    _, upd = model.apply(variables, x, t, mode=CALIB_W, mutable=["quant"])
+    variables = {**variables, "quant": upd["quant"]}
+    _, upd = model.apply(variables, x, t, mode=CALIB_A, mutable=["quant"])
+    variables = {**variables, "quant": upd["quant"]}
+    return model, qc, variables, x, t
+
+
+def test_ldm_folded_deploy_matches_fakequant():
+    """Model-level fold gate for the LDM zoo (the DDPM twin above cannot see
+    LDM-only layers: QKV attention, transformer denses, emb_layers).  Folded
+    DEPLOY must be bit-identical to WAQ fake-quant."""
+    from eda_dm_tpu.quant.export import fold_quantized_weights, DEPLOY
+
+    model, qc, variables, x, t = _calibrated_tiny_ldm()
+    waq = model.apply(variables, x, t, mode=WAQ)
+    sv = fold_quantized_weights(variables, qc)
+    out = model.apply(sv, x, t, mode=DEPLOY)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(waq),
+                               rtol=0, atol=1e-6)
+
+
+def test_ldm_int8_serving_quality_gate(monkeypatch):
+    """LDM whole-model int8 serving (narrow fused attention + fused GN
+    enabled, as the production queue runs it) stays within the fake-quant
+    path's deviation from FP — the model-level gate the DDPM-only suite
+    was missing."""
+    from eda_dm_tpu.api import export_for_serving
+
+    monkeypatch.setenv("EDM_FUSED_ATTN_NARROW", "1")
+    monkeypatch.setenv("EDM_FUSED_GN_NARROW", "1")
+    model, qc, variables, x, t = _calibrated_tiny_ldm()
+    fp = model.apply(variables, x, t, mode=FP)
+    waq = model.apply(variables, x, t, mode=WAQ)
+    sv, mode = export_for_serving(variables, qc, kind="int8")
+    out = model.apply(sv, x.astype(jnp.bfloat16), t, mode=mode)
+    out = np.asarray(out, np.float32)
+
+    err_waq = np.abs(np.asarray(waq) - np.asarray(fp)).mean()
+    err_int8 = np.abs(out - np.asarray(fp)).mean()
+    # bf16 carrier adds noise on top of quantization, but int8 serving must
+    # stay in the same error class as fake-quant, not a different regime
+    assert err_int8 <= err_waq * 1.3 + 5e-3
+    assert np.abs(out - np.asarray(waq)).max() < 0.5
+
+
+def test_ldm_mode_positional_misuse_raises():
+    """LDMUNet takes (x, t, context, y, mode); a QuantMode passed where
+    DDPMUNet takes its mode (third positional) must fail loudly instead of
+    silently running the whole net FP."""
+    from eda_dm_tpu.models.ldm_unet import LDMUNet, LDMUNetConfig
+    import pytest
+
+    cfg = LDMUNetConfig(in_channels=3, out_channels=3, model_channels=32,
+                        num_res_blocks=1, attention_resolutions=(1,),
+                        channel_mult=(1, 2), num_heads=4, image_size=16)
+    model = LDMUNet(cfg=cfg, qc=QuantConfig(weight_bit=4, act_bit=8))
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (1, 16, 16, 3))
+    t = jnp.full((1,), 10.0)
+    with pytest.raises(TypeError, match="positional order"):
+        model.init(key, x, t, WAQ)
