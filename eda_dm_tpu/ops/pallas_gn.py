@@ -35,8 +35,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def fused_gn_enabled() -> bool:
-    """Kill-switch for the fused GN serving kernel (on-chip debugging)."""
-    return os.environ.get("EDM_FUSED_GN", "1") != "0"
+    """Opt-in switch for the fused GN serving kernel (EDM_FUSED_GN=1).
+
+    Default OFF: on-chip A/B at the CIFAR production shapes (batch 500,
+    scan-fused serving) measured the fused kernel a net LOSS in the real
+    graph — 11.7 vs 14.3 steps/s — because XLA already fuses the
+    gn+swish+quantize chain into the conv input for free (PERF.md fusion
+    probe) while the Pallas call forces an extra materialization and a
+    sequential per-batch-element grid.  Isolated microbenches showed the
+    kernel 1.25–1.53× "faster", but those timings are dominated by
+    per-dispatch relay overhead — a trap worth remembering.  The kernel
+    remains available for shapes where XLA's two-pass GN genuinely pays
+    (multi-consumer GN outputs at narrow widths) behind EDM_FUSED_GN=1.
+    """
+    return os.environ.get("EDM_FUSED_GN", "0") == "1"
 
 
 def fused_gn_applicable(h: int, w: int, c: int, num_groups: int = 32) -> bool:

@@ -446,9 +446,13 @@ class LDMPipeline:
     def serving_variables(self, variables, serve: str = "waq"):
         """Deployment export of the quantized UNet: returns (variables,
         serve_mode).  serve='waq' keeps the fake-quant tree (mode WAQ);
-        'int8'/'bf16'/'fold' run quant/export with the paired mode."""
+        'fp' serves the unquantized FP32 model (the acceleration-ratio
+        baseline, reference README.md:92-124); 'int8'/'bf16'/'fold' run
+        quant/export with the paired mode."""
         if serve == "waq":
             return variables, WAQ
+        if serve == "fp":
+            return variables, FP
         from ..api import export_for_serving
         unet_vars, mode = export_for_serving(variables["unet"], self.qc,
                                              kind=serve)

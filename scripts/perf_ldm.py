@@ -45,10 +45,11 @@ def main():
                     help="tiny-batch quant-state init instead of TDAC + "
                          "full scale init (throughput/memory rows only)")
     ap.add_argument("--serve", default="waq",
-                    choices=["waq", "int8", "bf16"],
+                    choices=["waq", "int8", "bf16", "fp"],
                     help="sampling path: fake-quant WAQ, native-int8 export "
                          "(DEPLOY_INT8: int8 convs/matmuls + int8 attention "
-                         "einsums), or bf16 folded")
+                         "einsums), bf16 folded, or the FP32 baseline "
+                         "(acceleration-ratio denominator)")
     ap.add_argument("--phase", default="all",
                     choices=["all", "calib", "recon", "sample"],
                     help="run one phase per process: compiled TPU programs "

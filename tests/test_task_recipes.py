@@ -145,3 +145,24 @@ def test_all_ldm_tasks_construct():
         cfg = task_config(task)
         assert isinstance(cfg, LDMTaskConfig)
         assert cfg.iters == (5000 if task in ("bedroom", "church") else 1000)
+
+
+def test_serving_variables_fp_mode():
+    """serve='fp' returns the unquantized tree + FP mode (the acceleration
+    -ratio denominator, reference README.md:92-124) and keeps an f32
+    carrier; 'waq' returns the tree untouched with WAQ."""
+    import jax
+    from eda_dm_tpu.pipelines.latent import LDMPipeline
+    from eda_dm_tpu.quant import FP, WAQ
+    from eda_dm_tpu.quant.export import carrier_dtype
+    import jax.numpy as jnp
+
+    cfg = task_config("bedroom", calib_num_samples=4, batch_samples=4)
+    pipe = LDMPipeline.__new__(LDMPipeline)    # no model build needed
+    pipe.qc = None
+    variables = {"unet": {"params": {"w": jnp.ones((2, 2), jnp.float32)}}}
+    sv, mode = LDMPipeline.serving_variables(pipe, variables, "fp")
+    assert mode is FP and sv is variables
+    assert carrier_dtype(sv["unet"]) == jnp.float32
+    sv, mode = LDMPipeline.serving_variables(pipe, variables, "waq")
+    assert mode is WAQ and sv is variables
