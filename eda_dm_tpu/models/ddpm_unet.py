@@ -34,9 +34,13 @@ import flax.linen as nn
 from ..quant.config import QuantConfig, QuantMode, QuantizerSpec
 from ..ops.int8_einsum import (int8_attention_serving, int8_act_einsum,
                                int8_code_einsum, quantize_act_int8)
-from ..ops.pallas_softmax import softmax_int8_codes, pallas_interpret
+from ..ops.pallas_softmax import (softmax_int8_codes, pallas_interpret,
+                                  fused_softmax_enabled as
+                                  _fused_softmax_enabled)
 from ..ops.pallas_attention import (int8_fused_attention,
-                                    fused_attention_applicable)
+                                    fused_attention_applicable,
+                                    fused_attn_enabled as
+                                    _fused_attn_enabled)
 from ..ops.pallas_gn import (fused_gn_applicable, fused_gn_enabled as
                              _fused_gn_enabled, gn_norm)
 from ..nn.layers import (QConv, QDense, ActQuantizer, GNorm, group_norm,
@@ -184,7 +188,7 @@ class AttnBlockD(nn.Module):
             dw, zw = ActQuantizer(self.aq_w, name="act_quantizer_w")(
                 jnp.zeros((), x.dtype), mode, params_only=True)
             s_hw = hh * ww
-            if fused_attention_applicable(s_hw, c):
+            if fused_attention_applicable(s_hw, c) and _fused_attn_enabled():
                 # whole attention for a batch element stays in VMEM: the
                 # (n, hw, hw) logits are never materialized in HBM
                 # (ops/pallas_attention.py)
@@ -200,10 +204,15 @@ class AttnBlockD(nn.Module):
                                     q, (dq, zq, self.aq.n_levels),
                                     k, (dk, zk, self.aq.n_levels)) \
                     * (c ** -0.5)
-                # fused softmax→codes: one pass over the (n, hw, hw)
-                # logits instead of XLA's multi-pass f32 softmax + quantize
-                W, cw = softmax_int8_codes(w, dw, zw, self.aq_w.n_levels,
-                                           interpret=pallas_interpret())
+                if _fused_softmax_enabled():
+                    # fused softmax→codes: one pass over the (n, hw, hw)
+                    # logits instead of XLA's multi-pass f32 softmax+quantize
+                    W, cw = softmax_int8_codes(w, dw, zw, self.aq_w.n_levels,
+                                               interpret=pallas_interpret())
+                else:
+                    W, cw = quantize_act_int8(
+                        jax.nn.softmax(w, axis=-1), dw, zw,
+                        self.aq_w.n_levels)
                 V, cv = quantize_act_int8(v, dv, zv, self.aq.n_levels)
                 h = int8_code_einsum("nij,njc->nic", W, cw, dw, V, cv, dv)
         else:

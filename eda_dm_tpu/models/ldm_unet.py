@@ -40,18 +40,24 @@ import flax.linen as nn
 from ..quant.config import QuantConfig, QuantMode, QuantizerSpec
 from ..ops.int8_einsum import (int8_attention_serving, int8_act_einsum,
                                int8_code_einsum, quantize_act_int8)
-from ..ops.pallas_softmax import softmax_int8_codes, pallas_interpret
+from ..ops.pallas_softmax import (softmax_int8_codes, pallas_interpret,
+                                  fused_softmax_enabled as
+                                  _fused_softmax_enabled)
 from ..ops.pallas_attention import (int8_fused_attention_heads,
                                     int8_flash_attention_heads,
                                     fused_attention_applicable,
-                                    flash_attention_applicable)
+                                    flash_attention_applicable,
+                                    fused_attn_enabled)
 
 
 def _fused_narrow_attention(s: int, c: int) -> bool:
     """Fused attention for the LDM zoos' narrow (32/24-channel) heads:
     128-aligned widths qualify unconditionally; narrower lanes only once
-    validated on the target chip (set EDM_FUSED_ATTN_NARROW=1)."""
+    validated on the target chip (set EDM_FUSED_ATTN_NARROW=1).
+    EDM_FUSED_ATTN=0 disables every fused attention path."""
     import os
+    if not fused_attn_enabled():
+        return False
     narrow = os.environ.get("EDM_FUSED_ATTN_NARROW", "0") == "1"
     return fused_attention_applicable(s, c, narrow_lanes=narrow)
 
@@ -60,6 +66,8 @@ def _flash_narrow_attention(sq: int, skv: int, c: int) -> bool:
     """Two-pass tiled kernel for attention whose logits exceed VMEM (SD's
     4096 tokens, LDM 1024 at production batch) — same narrow-lane gate."""
     import os
+    if not fused_attn_enabled():
+        return False
     narrow = os.environ.get("EDM_FUSED_ATTN_NARROW", "0") == "1"
     return flash_attention_applicable(sq, skv, c, narrow_lanes=narrow)
 from ..ops.pallas_gn import (fused_gn_applicable, fused_gn_enabled as
@@ -368,10 +376,15 @@ class AttentionBlockL(nn.Module):
                 w = int8_act_einsum("bthc,bshc->bhts",
                                     q, (dq, zq, self.aq.n_levels),
                                     k, (dk, zk, self.aq.n_levels))
-                # fused softmax→codes (ops/pallas_softmax.py): single pass
-                # over the (b, h, t, s) logits
-                W, cw = softmax_int8_codes(w, dw, zw, self.aq_w.n_levels,
-                                           interpret=pallas_interpret())
+                if _fused_softmax_enabled():
+                    # fused softmax→codes (ops/pallas_softmax.py): single
+                    # pass over the (b, h, t, s) logits
+                    W, cw = softmax_int8_codes(w, dw, zw,
+                                               self.aq_w.n_levels,
+                                               interpret=pallas_interpret())
+                else:
+                    W, cw = quantize_act_int8(jax.nn.softmax(w, axis=-1),
+                                              dw, zw, self.aq_w.n_levels)
                 V, cv = quantize_act_int8(v, dv, zv, self.aq.n_levels)
                 a = int8_code_einsum("bhts,bshc->bthc",
                                      W, cw, dw, V, cv, dv)
@@ -456,10 +469,15 @@ class CrossAttentionL(nn.Module):
                                       q, (dq, zq, self.aq.n_levels),
                                       k, (dk, zk, self.aq.n_levels)) \
                     * (self.dim_head ** -0.5)
-                # fused softmax→codes (ops/pallas_softmax.py); handles the
-                # 77-token CLIP context via in-kernel masking
-                W, cw = softmax_int8_codes(sim, dw, zw, self.aq_w.n_levels,
-                                           interpret=pallas_interpret())
+                if _fused_softmax_enabled():
+                    # fused softmax→codes (ops/pallas_softmax.py); handles
+                    # the 77-token CLIP context via in-kernel masking
+                    W, cw = softmax_int8_codes(sim, dw, zw,
+                                               self.aq_w.n_levels,
+                                               interpret=pallas_interpret())
+                else:
+                    W, cw = quantize_act_int8(jax.nn.softmax(sim, axis=-1),
+                                              dw, zw, self.aq_w.n_levels)
                 V, cv = quantize_act_int8(v, dv, zv, self.aq.n_levels)
                 out = int8_code_einsum("bhij,bjhd->bihd",
                                        W, cw, dw, V, cv, dv)

@@ -33,12 +33,23 @@ the unfused einsum path.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def fused_attn_enabled() -> bool:
+    """Kill-switch for the whole-attention-in-VMEM serving kernels
+    (``EDM_FUSED_ATTN=0`` disables).  The kernel wins at the LDM shapes it
+    was validated on (few batch elements × large S, PERF.md); at very large
+    batch × small S (CIFAR batch 500, S=256) the per-grid-step matmuls are
+    too small to feed the MXU and the unfused XLA chain wins — measure per
+    deployment shape before enabling."""
+    return os.environ.get("EDM_FUSED_ATTN", "1") == "1"
 
 
 def fused_attention_applicable(s: int, c: int,

@@ -40,6 +40,13 @@ def pallas_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def fused_softmax_enabled() -> bool:
+    """Kill-switch for the fused softmax→int8-codes serving kernel
+    (``EDM_FUSED_SOFTMAX=0`` falls back to XLA softmax + quantize)."""
+    import os
+    return os.environ.get("EDM_FUSED_SOFTMAX", "1") == "1"
+
+
 def softmax_int8_codes(logits: jnp.ndarray, delta: jnp.ndarray,
                        zp: jnp.ndarray, n_levels: int,
                        interpret: bool = False

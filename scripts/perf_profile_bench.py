@@ -91,10 +91,17 @@ def main():
           flush=True)
     r_waq = full(serving, x16, DEPLOY)
     print(f"waq_bf16   {r_waq:8.2f} steps/s", flush=True)
-    r_int8 = full(serving8, x16, DEPLOY_INT8)
-    print(f"int8       {r_int8:8.2f} steps/s   "
-          f"(vs fp32 {r_int8 / r_fp32:.3f}, vs bf16 {r_int8 / r_bf16:.3f})",
-          flush=True)
+    # kernel-gate sweep: env gates are read at trace time; each full() call
+    # builds a fresh jit so the setting takes effect
+    for attn, smax in ((1, 1), (0, 1), (1, 0), (0, 0)):
+        os.environ["EDM_FUSED_ATTN"] = str(attn)
+        os.environ["EDM_FUSED_SOFTMAX"] = str(smax)
+        r_int8 = full(serving8, x16, DEPLOY_INT8)
+        print(f"int8 attn={attn} smax={smax} {r_int8:8.2f} steps/s   "
+              f"(vs fp32 {r_int8 / r_fp32:.3f}, "
+              f"vs bf16 {r_int8 / r_bf16:.3f})", flush=True)
+    os.environ.pop("EDM_FUSED_ATTN", None)
+    os.environ.pop("EDM_FUSED_SOFTMAX", None)
 
     # --- stage probes: one ResnetBlock / AttnBlock at dominant shapes -----
     from eda_dm_tpu.models.ddpm_unet import ResnetBlockD, AttnBlockD
