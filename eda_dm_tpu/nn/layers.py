@@ -123,7 +123,15 @@ def int8_conv_serving(mode: QuantMode, wq: QuantizerSpec, aq: QuantizerSpec,
     """Gate for the native int8 conv/dense serving path (export_serving_int8
     trees + DEPLOY_INT8).  8-bit-weight layers (first/last policy) keep the
     folded bf16 path — their centered codes can exceed int8 range — and
-    activations must fit int8 after the L/2 recentering (act_bit ≤ 8)."""
+    activations must fit int8 after the L/2 recentering (act_bit ≤ 8).
+
+    ``EDM_INT8_CONV=0`` (trace-time env kill-switch) keeps every conv/dense
+    on the folded-bf16 fake-quant path even under ``DEPLOY_INT8`` — the
+    int8 export tree carries the folded kernels too, so the fallback is
+    exactly the ``DEPLOY`` numerics."""
+    import os
+    if os.environ.get("EDM_INT8_CONV", "1") != "1":
+        return False
     return (mode.int8 and mode.a_quant and not mode.calib_a
             and not mode.w_quant and not mode.training
             and not mode.capture and not disable_act_quant
@@ -403,10 +411,21 @@ class QConv(nn.Module):
                     # instead costs a separate full read+write pass per conv
                     xs = jnp.pad(xs, ((0, 0), pads[0], pads[1], (0, 0)))
                 qs, c = _quantize_act_int8(xs, d, zp, n_lv)
+            # EDM_INT8_ACC=f32 asks the conv for an f32 accumulator
+            # directly: on stacks where the int32→f32 dequant epilogue is
+            # not fused into the conv output (an extra int32 materialization
+            # costs more HBM than the int8 MXU saves), this keeps the
+            # epilogue elementwise over f32.  f32 partial sums can round
+            # where the exact int32 sum exceeds 2^24 (possible at ≥3·3·256
+            # contractions with worst-case codes), so it is opt-in.
+            import os
+            acc_t = (jnp.float32
+                     if os.environ.get("EDM_INT8_ACC", "int32") == "f32"
+                     else jnp.int32)
             acc = jax.lax.conv_general_dilated(
                 qs, w_int.value, window_strides=(sh, sw), padding="VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.int32)
+                preferred_element_type=acc_t)
             term = (acc.astype(jnp.float32) + c * w_isum.value) \
                 * (d * w_delta.value.reshape(1, 1, 1, -1))
             out = term if out is None else out + term
@@ -476,8 +495,12 @@ class QDense(nn.Module):
                 "quant", "w0_delta",
                 lambda: jnp.ones((1, self.features), jnp.float32))
             qs, c = _quantize_act_int8(x, d, zp, self.aq.n_levels)
+            import os
+            acc_t = (jnp.float32
+                     if os.environ.get("EDM_INT8_ACC", "int32") == "f32"
+                     else jnp.int32)
             acc = jnp.matmul(qs.reshape(-1, in_ch), w_int.value,
-                             preferred_element_type=jnp.int32)
+                             preferred_element_type=acc_t)
             out = (acc.astype(jnp.float32) + c * w_isum.value) \
                 * (d * w_delta.value.reshape(1, -1))
             if bias is not None:

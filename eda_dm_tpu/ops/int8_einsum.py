@@ -107,7 +107,17 @@ def int8_act_einsum(eq: str, a: jnp.ndarray, qa, b: jnp.ndarray, qb,
 def int8_attention_serving(mode) -> bool:
     """Gate for the int8 attention-einsum serving branch: deployment
     (exported int8 trees) only — never during calibration, reconstruction
-    (QDrop/STE need the fake-quant graph) or capture."""
+    (QDrop/STE need the fake-quant graph) or capture.
+
+    ``EDM_INT8_ATTN=0`` (trace-time env kill-switch, like EDM_FUSED_*)
+    keeps the convs on the int8 MXU path but runs the attention einsums on
+    the fake-quant bf16 branch — the semantic definition the int8 chain is
+    bit-exact to.  On stacks where big-batch/small-S int8 attention loses
+    to XLA's batched bf16 matmuls (see PERF.md round-3 session-5 Amdahl
+    notes), this is the faster serving configuration."""
+    import os
+    if os.environ.get("EDM_INT8_ATTN", "1") != "1":
+        return False
     return (mode.int8 and mode.a_quant and not mode.calib_a
             and not mode.training and not mode.capture
             and not mode.soft_targets)
