@@ -22,6 +22,7 @@ taps   : sown intermediates (layer/block inputs and outputs) when
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
@@ -35,6 +36,24 @@ from ..quant import affine, search, adaround
 def _sow_reduce(prev, new):
     """Keep only the latest value (no tuple accumulation)."""
     return new
+
+
+def int8_acc_dtype():
+    """Accumulator dtype for the int8 conv/dense serving matmuls.
+
+    ``EDM_INT8_ACC=f32`` asks the MXU for an f32 accumulator directly: on
+    stacks where the int32→f32 dequant epilogue is not fused into the conv
+    output (an extra int32 materialization costs more HBM than the int8 MXU
+    saves), this keeps the epilogue elementwise over f32.  f32 partial sums
+    can round where the exact int32 sum exceeds 2^24 (possible at ≥3·3·256
+    contractions with worst-case codes), so it is opt-in.  Unrecognized
+    values raise instead of silently falling back.
+    """
+    val = os.environ.get("EDM_INT8_ACC", "int32")
+    if val not in ("int32", "f32"):
+        raise ValueError(
+            f"EDM_INT8_ACC must be 'int32' or 'f32', got {val!r}")
+    return jnp.float32 if val == "f32" else jnp.int32
 
 
 class ActQuantizer(nn.Module):
@@ -129,7 +148,6 @@ def int8_conv_serving(mode: QuantMode, wq: QuantizerSpec, aq: QuantizerSpec,
     on the folded-bf16 fake-quant path even under ``DEPLOY_INT8`` — the
     int8 export tree carries the folded kernels too, so the fallback is
     exactly the ``DEPLOY`` numerics."""
-    import os
     if os.environ.get("EDM_INT8_CONV", "1") != "1":
         return False
     return (mode.int8 and mode.a_quant and not mode.calib_a
@@ -359,9 +377,20 @@ class QConv(nn.Module):
         Exact algebra (per channel half h with act params (Δx, zpx) and
         per-output-channel weight scale Δw):
             x̂·ŵ = Δx·Δw · [conv(q_s, w_int) + c·Σw]      c = 128 − zpx
-        Split layers run one conv per half and sum epilogues.  ``SAME``
-        padding is applied manually with pad value −c (the int8 code of
-        x = 0) before a VALID conv.
+
+        Padding uses the conv's native zero padding over the CODE array
+        plus an exact border correction in the epilogue ("zero-code
+        padding").  x = 0 quantizes to code −c, so zero-padding the codes
+        over-counts each border tap by +c·w; the epilogue subtracts
+        c·border where border = conv(pad_indicator, w_int) is a tiny
+        batch-1 int32 map (loop-invariant: XLA hoists it out of sampling
+        scans).  This beats the previous explicit ``jnp.pad`` in x-space,
+        which broke XLA's producer fusion — the GN-normalize pass had to
+        materialize bf16 and a separate quantize+pad pass re-read it
+        (measured 464→636 steps/s at 32×32×128 batch 500,
+        scripts/probe_conv_epilogue.py; the folded-bf16 path gets 443 and
+        bf16-FP 480).  Split layers run one conv per half and sum
+        epilogues.
 
         ``pre_gn = (scale, bias, swish?)``: the producer GroupNorm(+swish)
         runs fused with the quantize+pad in one Pallas HBM pass
@@ -399,34 +428,45 @@ class QConv(nn.Module):
                 from ..ops.pallas_gn import gn_swish_int8
                 from ..ops.pallas_softmax import pallas_interpret
                 gn_scale, gn_bias, gn_swish = pre_gn
+                # kernel emits codes already padded with −c → VALID conv
                 qs, c = gn_swish_int8(x, gn_scale, gn_bias, d, zp, n_lv,
                                       pads, swish=gn_swish,
                                       interpret=pallas_interpret())
+                acc = jax.lax.conv_general_dilated(
+                    qs, w_int.value, window_strides=(sh, sw),
+                    padding="VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=int8_acc_dtype())
+                corr = c * w_isum.value
             else:
+                # zero-code padding: quantize UNPADDED (the elementwise
+                # chain fuses into the producer GN/swish pass) and let the
+                # conv zero-pad the codes; the epilogue subtracts the
+                # exact c·border over-count (see docstring)
                 xs = x[..., s:e]
-                if pads != ((0, 0), (0, 0)):
-                    # pad in x-space (zero ↦ code −c, bit-identical to
-                    # padding the codes with −c) so the pad fuses into the
-                    # elementwise quantize chain — padding the int8 codes
-                    # instead costs a separate full read+write pass per conv
-                    xs = jnp.pad(xs, ((0, 0), pads[0], pads[1], (0, 0)))
                 qs, c = _quantize_act_int8(xs, d, zp, n_lv)
-            # EDM_INT8_ACC=f32 asks the conv for an f32 accumulator
-            # directly: on stacks where the int32→f32 dequant epilogue is
-            # not fused into the conv output (an extra int32 materialization
-            # costs more HBM than the int8 MXU saves), this keeps the
-            # epilogue elementwise over f32.  f32 partial sums can round
-            # where the exact int32 sum exceeds 2^24 (possible at ≥3·3·256
-            # contractions with worst-case codes), so it is opt-in.
-            import os
-            acc_t = (jnp.float32
-                     if os.environ.get("EDM_INT8_ACC", "int32") == "f32"
-                     else jnp.int32)
-            acc = jax.lax.conv_general_dilated(
-                qs, w_int.value, window_strides=(sh, sw), padding="VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=acc_t)
-            term = (acc.astype(jnp.float32) + c * w_isum.value) \
+                acc = jax.lax.conv_general_dilated(
+                    qs, w_int.value, window_strides=(sh, sw), padding=pads,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=int8_acc_dtype())
+                if pads != ((0, 0), (0, 0)):
+                    # exact int32 pad-indicator conv (f32 convs run at
+                    # bf16 precision on TPU and round border sums > 256);
+                    # batch-1, loop-invariant — hoisted out of scans
+                    ind = jnp.pad(
+                        jnp.zeros((1, xs.shape[1], xs.shape[2], e - s),
+                                  jnp.int8),
+                        ((0, 0), pads[0], pads[1], (0, 0)),
+                        constant_values=1)
+                    border = jax.lax.conv_general_dilated(
+                        ind, w_int.value, window_strides=(sh, sw),
+                        padding="VALID",
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                        preferred_element_type=jnp.int32)
+                    corr = c * (w_isum.value - border.astype(jnp.float32))
+                else:
+                    corr = c * w_isum.value
+            term = (acc.astype(jnp.float32) + corr) \
                 * (d * w_delta.value.reshape(1, 1, 1, -1))
             out = term if out is None else out + term
         if bias is not None:
@@ -495,12 +535,8 @@ class QDense(nn.Module):
                 "quant", "w0_delta",
                 lambda: jnp.ones((1, self.features), jnp.float32))
             qs, c = _quantize_act_int8(x, d, zp, self.aq.n_levels)
-            import os
-            acc_t = (jnp.float32
-                     if os.environ.get("EDM_INT8_ACC", "int32") == "f32"
-                     else jnp.int32)
             acc = jnp.matmul(qs.reshape(-1, in_ch), w_int.value,
-                             preferred_element_type=acc_t)
+                             preferred_element_type=int8_acc_dtype())
             out = (acc.astype(jnp.float32) + c * w_isum.value) \
                 * (d * w_delta.value.reshape(1, -1))
             if bias is not None:
