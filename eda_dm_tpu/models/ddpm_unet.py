@@ -34,15 +34,11 @@ import flax.linen as nn
 from ..quant.config import QuantConfig, QuantMode, QuantizerSpec
 from ..ops.int8_einsum import (int8_attention_serving, int8_act_einsum,
                                int8_code_einsum, quantize_act_int8)
-from ..ops.pallas_softmax import (softmax_int8_codes, pallas_interpret,
-                                  fused_softmax_enabled as
-                                  _fused_softmax_enabled)
-from ..ops.pallas_attention import (int8_fused_attention,
-                                    fused_attention_applicable,
-                                    fused_attn_enabled as
-                                    _fused_attn_enabled)
-from ..ops.pallas_gn import (fused_gn_applicable, fused_gn_enabled as
-                             _fused_gn_enabled, gn_norm)
+from ..ops.pallas_softmax import softmax_int8_codes, pallas_interpret
+from ..ops.serving_policy import (attention_impl, use_fused_gn,
+                                  use_fused_softmax, int8_serving)
+from ..ops.pallas_attention import int8_fused_attention
+from ..ops.pallas_gn import gn_norm
 from ..nn.layers import (QConv, QDense, ActQuantizer, GNorm, group_norm,
                          int8_conv_serving, swish, timestep_embedding,
                          _sow_reduce)
@@ -91,10 +87,9 @@ class ResnetBlockD(nn.Module):
         in_ch = x.shape[-1]
         # on the int8 serving path the producer GN(+swish) fuses with the
         # conv input quantize+pad into one Pallas HBM pass (pre_gn)
-        int8_path = (int8_conv_serving(mode, self.wq, self.aq)
-                     and _fused_gn_enabled())
+        int8_path = int8_conv_serving(mode, self.wq, self.aq)
         gn1 = group_norm(name="GroupNorm_0")
-        if int8_path and fused_gn_applicable(*x.shape[1:]):
+        if int8_path and use_fused_gn(*x.shape[1:]):
             h = QConv(self.out_ch, (3, 3), wq=self.wq, aq=self.aq,
                       name="conv1")(x, mode,
                                     pre_gn=(*gn1(x, params_only=True), True))
@@ -104,7 +99,7 @@ class ResnetBlockD(nn.Module):
         h = h + QDense(self.out_ch, wq=self.wq, aq=self.aq,
                        name="temb_proj")(swish(temb), mode)[:, None, None, :]
         gn2 = group_norm(name="GroupNorm_1")
-        if int8_path and fused_gn_applicable(*h.shape[1:]):
+        if int8_path and use_fused_gn(*h.shape[1:]):
             h = QConv(self.out_ch, (3, 3), wq=self.wq, aq=self.aq,
                       name="conv2")(h, mode,
                                     pre_gn=(*gn2(h, params_only=True), True))
@@ -152,8 +147,7 @@ class AttnBlockD(nn.Module):
             self.sow("taps", "block_in", x, reduce_fn=_sow_reduce)
         n, hh, ww, c = x.shape
         gn = group_norm(name="GroupNorm_0")
-        if (int8_attention_serving(mode) and _fused_gn_enabled()
-                and fused_gn_applicable(hh, ww, c)):
+        if int8_serving(mode) and use_fused_gn(hh, ww, c):
             # multi-consumer GN output (q/k/v convs): emit the carrier
             # dtype in one HBM pass instead of XLA's two-pass GN
             h = gn_norm(x, *gn(x, params_only=True),
@@ -188,7 +182,7 @@ class AttnBlockD(nn.Module):
             dw, zw = ActQuantizer(self.aq_w, name="act_quantizer_w")(
                 jnp.zeros((), x.dtype), mode, params_only=True)
             s_hw = hh * ww
-            if fused_attention_applicable(s_hw, c) and _fused_attn_enabled():
+            if attention_impl(n, 1, s_hw, s_hw, c) == "fused":
                 # whole attention for a batch element stays in VMEM: the
                 # (n, hw, hw) logits are never materialized in HBM
                 # (ops/pallas_attention.py)
@@ -204,7 +198,7 @@ class AttnBlockD(nn.Module):
                                     q, (dq, zq, self.aq.n_levels),
                                     k, (dk, zk, self.aq.n_levels)) \
                     * (c ** -0.5)
-                if _fused_softmax_enabled():
+                if use_fused_softmax():
                     # fused softmax→codes: one pass over the (n, hw, hw)
                     # logits instead of XLA's multi-pass f32 softmax+quantize
                     W, cw = softmax_int8_codes(w, dw, zw, self.aq_w.n_levels,
@@ -417,8 +411,7 @@ class DDPMUNet(nn.Module):
         for i in reversed(range(cfg.num_resolutions)):
             h = self.up[i](h, hs, temb, mode)
 
-        if (int8_attention_serving(mode) and _fused_gn_enabled()
-                and fused_gn_applicable(*h.shape[1:])):
+        if int8_serving(mode) and use_fused_gn(*h.shape[1:]):
             h = gn_norm(h, *self.norm_out(h, params_only=True), swish=True,
                         interpret=pallas_interpret())
         else:

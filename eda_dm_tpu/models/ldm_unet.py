@@ -40,38 +40,12 @@ import flax.linen as nn
 from ..quant.config import QuantConfig, QuantMode, QuantizerSpec
 from ..ops.int8_einsum import (int8_attention_serving, int8_act_einsum,
                                int8_code_einsum, quantize_act_int8)
-from ..ops.pallas_softmax import (softmax_int8_codes, pallas_interpret,
-                                  fused_softmax_enabled as
-                                  _fused_softmax_enabled)
+from ..ops.pallas_softmax import softmax_int8_codes, pallas_interpret
+from ..ops.serving_policy import (attention_impl, use_fused_gn,
+                                  use_fused_softmax, int8_serving)
 from ..ops.pallas_attention import (int8_fused_attention_heads,
-                                    int8_flash_attention_heads,
-                                    fused_attention_applicable,
-                                    flash_attention_applicable,
-                                    fused_attn_enabled)
-
-
-def _fused_narrow_attention(s: int, c: int) -> bool:
-    """Fused attention for the LDM zoos' narrow (32/24-channel) heads:
-    128-aligned widths qualify unconditionally; narrower lanes only once
-    validated on the target chip (set EDM_FUSED_ATTN_NARROW=1).
-    EDM_FUSED_ATTN=0 disables every fused attention path."""
-    import os
-    if not fused_attn_enabled():
-        return False
-    narrow = os.environ.get("EDM_FUSED_ATTN_NARROW", "0") == "1"
-    return fused_attention_applicable(s, c, narrow_lanes=narrow)
-
-
-def _flash_narrow_attention(sq: int, skv: int, c: int) -> bool:
-    """Two-pass tiled kernel for attention whose logits exceed VMEM (SD's
-    4096 tokens, LDM 1024 at production batch) — same narrow-lane gate."""
-    import os
-    if not fused_attn_enabled():
-        return False
-    narrow = os.environ.get("EDM_FUSED_ATTN_NARROW", "0") == "1"
-    return flash_attention_applicable(sq, skv, c, narrow_lanes=narrow)
-from ..ops.pallas_gn import (fused_gn_applicable, fused_gn_enabled as
-                             _fused_gn_enabled, gn_norm)
+                                    int8_flash_attention_heads)
+from ..ops.pallas_gn import gn_norm
 from ..nn.layers import (QConv, QDense, ActQuantizer, GNorm, group_norm,
                          int8_conv_serving, swish, timestep_embedding,
                          _sow_reduce)
@@ -241,11 +215,10 @@ class ResBlockL(nn.Module):
         # int8 serving: producer GN(+swish) fuses into the conv's input
         # quantize+pad Pallas pass (ops/pallas_gn.py; no-op change for
         # up/down blocks where a resample sits between GN and conv)
-        int8_path = (int8_conv_serving(mode, self.wq, self.aq)
-                     and _fused_gn_enabled())
+        int8_path = int8_conv_serving(mode, self.wq, self.aq)
         gn_in = group_norm(name="in_layers_0")
         if (int8_path and self.updown == ""
-                and fused_gn_applicable(*x.shape[1:])):
+                and use_fused_gn(*x.shape[1:])):
             h = QConv(self.out_ch, (3, 3), wq=self.wq, aq=self.aq,
                       name="in_layers_2")(
                           x, mode, pre_gn=(*gn_in(x, params_only=True), True))
@@ -273,7 +246,7 @@ class ResBlockL(nn.Module):
                       name="out_layers_3")(h, mode)
         else:
             h = h + emb_out[:, None, None, :]
-            if int8_path and fused_gn_applicable(*h.shape[1:]):
+            if int8_path and use_fused_gn(*h.shape[1:]):
                 h = QConv(self.out_ch, (3, 3), wq=self.wq, aq=self.aq,
                           name="out_layers_3")(
                               h, mode,
@@ -324,8 +297,7 @@ class AttentionBlockL(nn.Module):
         b, hh, ww, c = x.shape
         t_len = hh * ww
         gn = group_norm(name="norm")
-        if (int8_attention_serving(mode) and _fused_gn_enabled()
-                and fused_gn_applicable(hh, ww, c)):
+        if int8_serving(mode) and use_fused_gn(hh, ww, c):
             # one-HBM-pass GN (GN is per-(sample, group) — spatial layout
             # is irrelevant, so normalize the 4-D view and flatten after)
             xs = gn_norm(x, *gn(x, params_only=True),
@@ -355,18 +327,17 @@ class AttentionBlockL(nn.Module):
                 jnp.zeros((), x.dtype), mode, params_only=True)
             dv, zv = ActQuantizer(self.aq, name="act_quantizer_v")(
                 v, mode, params_only=True)
-            if (_fused_narrow_attention(t_len, ch)
-                    or _flash_narrow_attention(t_len, t_len, ch)):
+            impl = attention_impl(b, self.num_heads, t_len, t_len, ch)
+            if impl in ("fused", "flash"):
                 # the (b,h,t,s) logits are never materialized in HBM
                 # (ops/pallas_attention.py, heads layout): whole-in-VMEM
                 # kernel for small S, two-pass tiled kernel otherwise —
-                # narrow lanes gated on on-chip validation
-                # (EDM_FUSED_ATTN_NARROW)
+                # shape-keyed choice in ops/serving_policy.py
                 Qc, cq = quantize_act_int8(q, dq, zq, self.aq.n_levels)
                 Kc, ck = quantize_act_int8(k, dk, zk, self.aq.n_levels)
                 V, cv = quantize_act_int8(v, dv, zv, self.aq.n_levels)
                 attn_fn = (int8_fused_attention_heads
-                           if _fused_narrow_attention(t_len, ch)
+                           if impl == "fused"
                            else int8_flash_attention_heads)
                 a = attn_fn(
                     Qc, cq, dq, Kc, ck, dk, V, cv, dv, 1.0,
@@ -376,7 +347,7 @@ class AttentionBlockL(nn.Module):
                 w = int8_act_einsum("bthc,bshc->bhts",
                                     q, (dq, zq, self.aq.n_levels),
                                     k, (dk, zk, self.aq.n_levels))
-                if _fused_softmax_enabled():
+                if use_fused_softmax():
                     # fused softmax→codes (ops/pallas_softmax.py): single
                     # pass over the (b, h, t, s) logits
                     W, cw = softmax_int8_codes(w, dw, zw,
@@ -454,13 +425,19 @@ class CrossAttentionL(nn.Module):
                 jnp.zeros((), x.dtype), mode, params_only=True)
             dv, zv = ActQuantizer(self.aq, name="act_quantizer_v")(
                 v, mode, params_only=True)
-            if _flash_narrow_attention(n, m, self.dim_head):
+            impl = attention_impl(b, self.heads, n, m, self.dim_head)
+            if impl in ("fused", "flash"):
                 # SD self-attention (64² = 4096 tokens): the (b,h,i,j)
-                # logits never touch HBM — two-pass tiled kernel
+                # logits never touch HBM — whole-in-VMEM kernel when one
+                # head's working set fits (n == m only), two-pass tiled
+                # kernel otherwise (ops/serving_policy.py)
                 Qc, cq = quantize_act_int8(q, dq, zq, self.aq.n_levels)
                 Kc, ck = quantize_act_int8(k, dk, zk, self.aq.n_levels)
                 V, cv = quantize_act_int8(v, dv, zv, self.aq.n_levels)
-                out = int8_flash_attention_heads(
+                attn_fn = (int8_fused_attention_heads
+                           if impl == "fused"
+                           else int8_flash_attention_heads)
+                out = attn_fn(
                     Qc, cq, dq, Kc, ck, dk, V, cv, dv,
                     self.dim_head ** -0.5, dw, zw, self.aq_w.n_levels,
                     interpret=pallas_interpret())
@@ -469,7 +446,7 @@ class CrossAttentionL(nn.Module):
                                       q, (dq, zq, self.aq.n_levels),
                                       k, (dk, zk, self.aq.n_levels)) \
                     * (self.dim_head ** -0.5)
-                if _fused_softmax_enabled():
+                if use_fused_softmax():
                     # fused softmax→codes (ops/pallas_softmax.py); handles
                     # the 77-token CLIP context via in-kernel masking
                     W, cw = softmax_int8_codes(sim, dw, zw,
@@ -580,8 +557,8 @@ class SpatialTransformerL(nn.Module):
         b, hh, ww, c = x.shape
         inner = self.heads * self.dim_head
         gn = group_norm(name="norm")
-        if (int8_conv_serving(mode, self.wq, self.aq) and _fused_gn_enabled()
-                and fused_gn_applicable(hh, ww, c)):
+        if (int8_conv_serving(mode, self.wq, self.aq)
+                and use_fused_gn(hh, ww, c)):
             # GN (no swish) fuses into proj_in's input quantize pass
             h = QConv(inner, (1, 1), padding="VALID", wq=self.wq, aq=self.aq,
                       name="proj_in")(
@@ -738,8 +715,7 @@ class LDMUNet(nn.Module):
             h = jnp.concatenate([h, hs.pop()], axis=-1)
             h = run(grouped_out[i], self.output_blocks, h)
 
-        if (int8_attention_serving(mode) and _fused_gn_enabled()
-                and fused_gn_applicable(*h.shape[1:])):
+        if int8_serving(mode) and use_fused_gn(*h.shape[1:]):
             h = gn_norm(h, *self.out["0"](h, params_only=True), swish=True,
                         interpret=pallas_interpret())
         else:

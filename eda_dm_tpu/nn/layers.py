@@ -138,11 +138,19 @@ class ActQuantizer(nn.Module):
 
 
 def int8_conv_serving(mode: QuantMode, wq: QuantizerSpec, aq: QuantizerSpec,
-                      disable_act_quant: bool = False) -> bool:
+                      disable_act_quant: bool = False,
+                      split: int = 0) -> bool:
     """Gate for the native int8 conv/dense serving path (export_serving_int8
     trees + DEPLOY_INT8).  8-bit-weight layers (first/last policy) keep the
     folded bf16 path — their centered codes can exceed int8 range — and
     activations must fit int8 after the L/2 recentering (act_bit ≤ 8).
+
+    Split dual-quantizer layers also stay folded: the int8 path must run
+    one conv + epilogue per half (the halves' act scales can't share a
+    contraction), and two half-convs each materializing an s32 output lose
+    to the folded path's single concatenated bf16 conv — measured 519 vs
+    971 steps/s at the 16×16 384→256 up-shortcut shape, 322 vs 344 at
+    32×32 256→128 (scripts/probe_split_shortcut.py).
 
     ``EDM_INT8_CONV=0`` (trace-time env kill-switch) keeps every conv/dense
     on the folded-bf16 fake-quant path even under ``DEPLOY_INT8`` — the
@@ -153,6 +161,7 @@ def int8_conv_serving(mode: QuantMode, wq: QuantizerSpec, aq: QuantizerSpec,
     return (mode.int8 and mode.a_quant and not mode.calib_a
             and not mode.w_quant and not mode.training
             and not mode.capture and not disable_act_quant
+            and split == 0
             and wq.n_bits <= 7 and aq.n_bits <= 8)
 
 
@@ -300,7 +309,8 @@ class QConv(nn.Module):
         # additionally fuses the producer GroupNorm(+swish) into the input
         # quantize+pad pass (ops/pallas_gn.py) — callers may pass it only
         # when this gate holds (models check the same predicate).
-        if int8_conv_serving(mode, self.wq, self.aq, self.disable_act_quant):
+        if int8_conv_serving(mode, self.wq, self.aq, self.disable_act_quant,
+                             self.split):
             return self._int8_forward(x, bias, mode, pre_gn=pre_gn)
         assert pre_gn is None, "pre_gn requires the int8 serving path"
 
@@ -445,8 +455,13 @@ class QConv(nn.Module):
                 # exact c·border over-count (see docstring)
                 xs = x[..., s:e]
                 qs, c = _quantize_act_int8(xs, d, zp, n_lv)
+                # note: unlike the fake-quant branch, 1×1 convs stay on
+                # the conv lowering here — the matmul rewrite was measured
+                # SLOWER for int8 codes (bench 17.99→16.87 steps/s); XLA's
+                # native int8 conv is the fast path on this stack
                 acc = jax.lax.conv_general_dilated(
-                    qs, w_int.value, window_strides=(sh, sw), padding=pads,
+                    qs, w_int.value, window_strides=(sh, sw),
+                    padding=pads,
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
                     preferred_element_type=int8_acc_dtype())
                 if pads != ((0, 0), (0, 0)):
