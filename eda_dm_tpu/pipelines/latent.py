@@ -38,6 +38,7 @@ from ..calib.scale_init import set_weight_quantize_params, \
     set_act_quantize_params
 from ..calib.tdac import select_calib_set, DENSE_R
 from ..calib.recon import ReconArgs, reconstruct, FP_CAPTURE
+from ..utils.run import relay_mode
 
 logger = logging.getLogger(__name__)
 
@@ -339,8 +340,12 @@ class LDMPipeline:
                                 plan, args, key, progress=progress,
                                 group_size=cfg.recon_group_size,
                                 group_window=cfg.recon_group_window,
+                                # relay-only mitigation: resident compiled
+                                # programs + lying block_until_ready pile
+                                # up transients (utils/run.py::relay_mode)
                                 clear_caches_every=
-                                cfg.recon_clear_caches_every)
+                                (cfg.recon_clear_caches_every
+                                 if relay_mode() else 0))
         return {**variables, "unet": unet_vars}
 
     # ------------------------------------------------------------------

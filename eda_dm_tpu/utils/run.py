@@ -40,16 +40,42 @@ def enable_compilation_cache(path: str = "~/.cache/eda_dm_tpu_xla") -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def hard_sync(tree) -> None:
-    """Force a real device round-trip on one leaf of ``tree``.
+def relay_mode() -> bool:
+    """Whether this process talks to the TPU through a relay whose
+    ``block_until_ready`` can return early (the axon tunnel).
 
-    On relay-attached devices ``block_until_ready`` can return before
-    execution finishes, letting dispatches pile up concurrently and exhaust
-    device memory with their transients.  Reading an actual value back
-    drains the (in-order) execution queue.  ~one RTT (~30 ms here).
+    Relay-specific mitigations (forced readbacks in :func:`hard_sync`,
+    executable-cache clearing defaults) are gated on this so a direct
+    TPU deployment doesn't pay the relay tax.  Auto-detected from the
+    backend platform name; ``EDM_RELAY=0/1`` overrides.
+    """
+    import os
+    v = os.environ.get("EDM_RELAY")
+    if v is not None:
+        return v == "1"
+    import jax
+    try:
+        return jax.default_backend() == "axon"
+    except Exception:
+        return False
+
+
+def hard_sync(tree) -> None:
+    """Wait until ``tree``'s computation has really finished on device.
+
+    On relay-attached devices (:func:`relay_mode`) ``block_until_ready``
+    can return before execution finishes, letting dispatches pile up
+    concurrently and exhaust device memory with their transients — there,
+    reading an actual value back drains the (in-order) execution queue
+    (~one RTT, ~30 ms here).  On a directly-attached TPU this forced
+    readback would serialize pipelines for nothing, so plain
+    ``block_until_ready`` is used instead.
     """
     import jax
     import numpy as np_
+    if not relay_mode():
+        jax.block_until_ready(tree)
+        return
     leaves = jax.tree.leaves(tree)
     for leaf in leaves:
         if hasattr(leaf, "ravel"):
