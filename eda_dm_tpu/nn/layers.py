@@ -150,7 +150,7 @@ def int8_conv_serving(mode: QuantMode, wq: QuantizerSpec, aq: QuantizerSpec,
     contraction), and two half-convs each materializing an s32 output lose
     to the folded path's single concatenated bf16 conv — measured 519 vs
     971 steps/s at the 16×16 384→256 up-shortcut shape, 322 vs 344 at
-    32×32 256→128 (scripts/probe_split_shortcut.py).
+    32×32 256→128 (scripts/probes/split_shortcut.py).
 
     ``EDM_INT8_CONV=0`` (trace-time env kill-switch) keeps every conv/dense
     on the folded-bf16 fake-quant path even under ``DEPLOY_INT8`` — the
@@ -398,7 +398,7 @@ class QConv(nn.Module):
         which broke XLA's producer fusion — the GN-normalize pass had to
         materialize bf16 and a separate quantize+pad pass re-read it
         (measured 464→636 steps/s at 32×32×128 batch 500,
-        scripts/probe_conv_epilogue.py; the folded-bf16 path gets 443 and
+        scripts/probes/conv_epilogue.py; the folded-bf16 path gets 443 and
         bf16-FP 480).  Split layers run one conv per half and sum
         epilogues.
 

@@ -16,7 +16,8 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
 
 import jax
 import jax.numpy as jnp
@@ -88,17 +89,18 @@ def main():
           "   (upper bound)", flush=True)
     print(f"bf16-DEPLOY {stage_rate(attn, vfold, xs, DEPLOY, bf16):8.1f}"
           "   (fake-quant attn + folded convs)", flush=True)
+    from probes import env_sweep
     for env, label in ((dict(EDM_INT8_ATTN="1", EDM_FUSED_ATTN="1"),
                         "int8 fused-attn "),
                        (dict(EDM_INT8_ATTN="1", EDM_FUSED_ATTN="0"),
                         "int8 einsum-attn"),
                        (dict(EDM_INT8_ATTN="0"),
                         "int8 fq-attn    ")):
-        os.environ.update(env)
-        r = stage_rate(attn, v8, xs, DEPLOY_INT8, bf16)
+        # each config starts from a clean EDM_* slate (no inheritance from
+        # the previous iteration) and restores the environment on exception
+        with env_sweep(env):
+            r = stage_rate(attn, v8, xs, DEPLOY_INT8, bf16)
         print(f"{label} {r:8.1f}", flush=True)
-    for kk in ("EDM_INT8_ATTN", "EDM_FUSED_ATTN"):
-        os.environ.pop(kk, None)
 
     # ---- resblock 32x32x128 ----------------------------------------------
     res = ResnetBlockD(out_ch=128, temb_ch=512, wq=qc.wq, aq=qc.aq)

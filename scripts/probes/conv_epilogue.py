@@ -26,7 +26,9 @@ Run on an idle chip: python scripts/probe_conv_epilogue.py
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
 
 import jax
 import jax.numpy as jnp

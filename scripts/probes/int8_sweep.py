@@ -13,7 +13,8 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
 
 import jax
 import jax.numpy as jnp
@@ -46,11 +47,10 @@ def main():
     v = {**v, "quant": u["quant"]}
     s8 = export_serving_int8(v, qc)
 
+    from probes import env_sweep
+
     def rate(env):
-        saved = {kk: os.environ.pop(kk) for kk in list(os.environ)
-                 if kk.startswith("EDM_")}
-        os.environ.update(env)
-        try:
+        with env_sweep(env):
             def scan_fn(vv, x0, tt):
                 def body(c, _):
                     out = model.apply(vv, c, tt, DEPLOY_INT8)
@@ -65,11 +65,6 @@ def main():
                 out = fn(s8, x, t)
             float(out)
             return 3 * k / (time.perf_counter() - t0)
-        finally:
-            for kk in list(os.environ):
-                if kk.startswith("EDM_"):
-                    del os.environ[kk]
-            os.environ.update(saved)
 
     for label, env in (
             ("policy defaults           ", {}),

@@ -13,7 +13,8 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
 
 import jax
 import jax.numpy as jnp
@@ -83,12 +84,11 @@ def main():
         v8 = export_serving_int8(v, qc)
         print(f"=== resblock {shape[1]}x{shape[2]}x{ch} (steps/s) ===",
               flush=True)
+        from probes import env_sweep
         for label, env in ENVS:
-            os.environ.update(env)
-            r = stage_rate(res, v8, xs, DEPLOY_INT8, bf16)
+            with env_sweep(env):
+                r = stage_rate(res, v8, xs, DEPLOY_INT8, bf16)
             print(f"{label} {r:8.1f}", flush=True)
-            for kk in KEYS:
-                os.environ.pop(kk, None)
 
     # ---- full model: the two candidate best configs ----------------------
     arch = DDPMConfig()
@@ -118,15 +118,14 @@ def main():
         return bench_scan(scan_fn, serving8, x16, t, k=k)
 
     print("=== full model (steps/s) ===", flush=True)
+    from probes import env_sweep
     for label, env in (
             ("int8 acc=f32 + einsum attn",
              {"EDM_INT8_ACC": "f32", "EDM_FUSED_ATTN": "0"}),
             ("folded bf16 + int8 einsum attn",
              {"EDM_INT8_CONV": "0", "EDM_FUSED_ATTN": "0"})):
-        os.environ.update(env)
-        print(f"{label}  {full():8.2f}", flush=True)
-        for kk in KEYS + ("EDM_FUSED_ATTN",):
-            os.environ.pop(kk, None)
+        with env_sweep(env):
+            print(f"{label}  {full():8.2f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -12,7 +12,9 @@ Run on the chip: python scripts/probe_resblock_hlo.py
 import re
 import sys
 
-sys.path.insert(0, "/root/repo")
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
 
 import jax
 import jax.numpy as jnp
