@@ -77,9 +77,12 @@ def test_phase_split_bedroom_with_int8_serving(tmp_path, monkeypatch):
                  monkeypatch, mc)
     assert os.path.exists(os.path.join(state, "cali.npz"))
     imgs = _find_images(log)
-    assert len(imgs) == 2
+    samples = [p for p in imgs if not os.path.basename(p).startswith("grid")]
+    grids = [p for p in imgs if os.path.basename(p).startswith("grid")]
+    assert len(samples) == 2
+    assert len(grids) == 1  # grid-0000.png preview (opt out: --skip_grid)
     from PIL import Image
-    arr = np.asarray(Image.open(imgs[0]))
+    arr = np.asarray(Image.open(samples[0]))
     assert arr.shape[:2] == (16, 16)
 
 
