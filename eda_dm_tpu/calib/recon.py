@@ -174,16 +174,50 @@ def capture_target(model, variables, cali_data: Sequence,
     n = cali_data[0].shape[0]
     bs = min(batch_size or n, n)
     run_keep = keep_universe if keep_universe is not None else keep
-    if keep_universe is not None:
-        sel = [keep_universe.index(kp) for kp in keep]
-    subs, tembs = [], []
+    sel = ([keep_universe.index(kp) for kp in keep]
+           if keep_universe is not None else None)
     import os as _os
     if _os.environ.get("EDA_DEBUG_CAPTURE"):
         print(f"    [capture] keep[0]={keep[0]} n={n} bs={bs} "
               f"universe={len(run_keep)} "
               f"mode=(w={mode.w_quant},a={mode.a_quant})", flush=True)
+    oom_retries = 0
+    while True:
+        try:
+            return _capture_chunks(model, variables, cali_data, path, mode,
+                                   keep, run_keep, sel, n, bs, cache_dtype)
+        except Exception as e:  # jaxlib XlaRuntimeError has no stable type
+            if "RESOURCE_EXHAUSTED" not in str(e) or oom_retries >= 3:
+                raise
+            oom_retries += 1
+            # Late-plan captures have OOMed on bedroom-size models after
+            # ~80 min of recon (round-4 queue): resident compiled programs
+            # plus allocator fragmentation, not the capture's own working
+            # set.  First retry just drops the executable caches (programs
+            # re-load from the persistent compilation cache); subsequent
+            # retries also halve the capture batch.
+            jax.clear_caches()
+            if oom_retries > 1:
+                bs = max(1, bs // 2)
+            print(f"    [capture] RESOURCE_EXHAUSTED — retry "
+                  f"{oom_retries}/3 (cleared executable caches, bs={bs})",
+                  flush=True)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _buf_write(buf, chunk, start):
+    """In-place (donated) row-range write of a capture chunk."""
+    return jax.lax.dynamic_update_slice_in_dim(buf, chunk, start, axis=0)
+
+
+def _capture_chunks(model, variables, cali_data, path, mode, keep,
+                    run_keep, sel, n: int, bs: int,
+                    cache_dtype: Optional[str]):
     n_full, rem = divmod(n, bs)
-    for i in range(n_full + (1 if rem else 0)):
+    n_chunks = n_full + (1 if rem else 0)
+    bufs = None
+    tembs = []
+    for i in range(n_chunks):
         batch = tuple(a[i * bs:(i + 1) * bs] for a in cali_data)
         if rem and i == n_full:
             # partial tail: pad to bs by repeating rows so the same
@@ -193,18 +227,30 @@ def capture_target(model, variables, cali_data: Sequence,
             batch = tuple(_pad_rows(a, bs) for a in batch)
         kept, temb = _capture_batch(model, variables, batch, path,
                                     run_keep, mode, cache_dtype)
-        if keep_universe is not None:
+        if sel is not None:
             kept = tuple(kept[j] for j in sel)
         # serialize chunks with a real readback: relay-attached devices can
         # otherwise pile up concurrent executions whose transients OOM
         # (utils/run.py::hard_sync)
         from ..utils.run import hard_sync
         hard_sync(kept)
-        subs.append(kept)
         tembs.append(temb)
-    kept = tuple(jnp.concatenate([s[j] for s in subs])[:n]
-                 for j in range(len(keep)))
-    del subs
+        if n_chunks == 1:
+            # single chunk (bs == n): the capture outputs ARE the caches
+            return dict(zip(keep, kept)), temb
+        if bufs is None:
+            # accumulate chunks into preallocated exact-size buffers with
+            # donated row-range writes instead of a list + jnp.concatenate:
+            # the concat transiently doubles the cache bytes (chunks +
+            # copy), which OOM'd the imagenet recon captures (round-4
+            # queue).  Buffers are exactly n rows; the padded tail chunk
+            # is clipped before its write so no final slice-copy is needed.
+            bufs = [jnp.zeros((n,) + k.shape[1:], k.dtype) for k in kept]
+        if rem and i == n_full:
+            kept = tuple(k[:rem] for k in kept)
+        bufs = [_buf_write(b, k, jnp.int32(i * bs))
+                for b, k in zip(bufs, kept)]
+    kept = tuple(bufs)
     temb = (jnp.concatenate(tembs)[:n] if tembs[0] is not None else None)
     return dict(zip(keep, kept)), temb
 

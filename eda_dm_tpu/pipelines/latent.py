@@ -326,7 +326,8 @@ class LDMPipeline:
             batch_size=self.cfg.calib_batch_size)
         return {**variables, "unet": unet_vars}
 
-    def reconstruct(self, variables, cali_data, key, progress=None):
+    def reconstruct(self, variables, cali_data, key, progress=None,
+                    checkpoint_dir: Optional[str] = None):
         cfg = self.cfg
         args = ReconArgs(iters=cfg.iters, batch_size=cfg.recon_batch_size,
                          lr_w=cfg.lr_w, lr_a=cfg.lr_a, add_loss=cfg.add_loss,
@@ -336,16 +337,24 @@ class LDMPipeline:
                          cache_dtype=cfg.cache_dtype,
                          capture_budget_bytes=cfg.capture_budget_bytes)
         plan = ldm_recon_plan(self.mc.unet, self.qc)
-        unet_vars = reconstruct(self.ld.unet, variables["unet"], cali_data,
-                                plan, args, key, progress=progress,
-                                group_size=cfg.recon_group_size,
-                                group_window=cfg.recon_group_window,
-                                # relay-only mitigation: resident compiled
-                                # programs + lying block_until_ready pile
-                                # up transients (utils/run.py::relay_mode)
-                                clear_caches_every=
-                                (cfg.recon_clear_caches_every
-                                 if relay_mode() else 0))
+        # relay-only mitigation: resident compiled programs + lying
+        # block_until_ready pile up transients (utils/run.py::relay_mode)
+        clear_every = (cfg.recon_clear_caches_every if relay_mode() else 0)
+        if checkpoint_dir is not None:
+            from ..utils.checkpointing import resumable_reconstruct
+            unet_vars = resumable_reconstruct(
+                self.ld.unet, variables["unet"], cali_data, plan, args, key,
+                checkpoint_dir, progress=progress,
+                group_size=cfg.recon_group_size,
+                group_window=cfg.recon_group_window,
+                clear_caches_every=clear_every)
+        else:
+            unet_vars = reconstruct(self.ld.unet, variables["unet"],
+                                    cali_data, plan, args, key,
+                                    progress=progress,
+                                    group_size=cfg.recon_group_size,
+                                    group_window=cfg.recon_group_window,
+                                    clear_caches_every=clear_every)
         return {**variables, "unet": unet_vars}
 
     # ------------------------------------------------------------------

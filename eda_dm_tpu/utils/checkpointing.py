@@ -57,7 +57,8 @@ def load_meta(path: str) -> Optional[Dict[str, Any]]:
 
 def resumable_reconstruct(model, variables, cali_data, plan, args, key,
                           checkpoint_dir: str, progress=None,
-                          group_size: int = 1, group_window: int = 0):
+                          group_size: int = 1, group_window: int = 0,
+                          clear_caches_every: int = 0):
     """`calib.recon.reconstruct` with per-group checkpointing.
 
     After each target group the quant collection is saved along with the
@@ -66,6 +67,11 @@ def resumable_reconstruct(model, variables, cali_data, plan, args, key,
     preserved because state after group k fully determines group k+1's
     captures).  ``group_size`` batches adjacent same-shape targets exactly
     like ``reconstruct`` (see calib.recon.reconstruct_group).
+
+    ``clear_caches_every=N`` drops the jit executable caches every N groups
+    (same relay-memory mitigation as ``reconstruct``'s own parameter —
+    which cannot fire here because each group runs in a fresh
+    ``reconstruct`` call whose internal group counter restarts at 0).
     """
     from ..calib.recon import reconstruct, group_plan
 
@@ -75,6 +81,9 @@ def resumable_reconstruct(model, variables, cali_data, plan, args, key,
     if meta is not None and meta.get("plan_len") == len(plan):
         variables = load_quant_state(ckpt, variables)
         start = int(meta["completed"])
+        if start:
+            print(f"  [recon] resuming after {start}/{len(plan)} targets "
+                  f"(last: {meta.get('last_target')})", flush=True)
 
     groups = (group_plan(plan, group_size, group_window) if group_size > 1
               else [[t] for t in plan])
@@ -82,14 +91,18 @@ def resumable_reconstruct(model, variables, cali_data, plan, args, key,
     # restarted (same stream as an uninterrupted run)
     gkeys = jax.random.split(key, len(groups))
     done = 0
+    ran = 0
     for grp, sub in zip(groups, gkeys):
         if done + len(grp) <= start:        # fully completed before resume
             done += len(grp)
             continue
+        if clear_caches_every and ran and ran % clear_caches_every == 0:
+            jax.clear_caches()
         variables = reconstruct(model, variables, cali_data, grp, args, sub,
                                 progress=progress, group_size=group_size,
                                 group_window=group_window)
         done += len(grp)
+        ran += 1
         save_quant_state(ckpt, variables,
                          meta={"completed": done, "plan_len": len(plan),
                                "last_target": grp[-1].name})

@@ -171,17 +171,29 @@ def main():
     if not args.skip_recon and args.phase != "sample":
         t0 = time.perf_counter()
         n_done = []
+        # per-group checkpointing: an OOM/timeout deep into the plan (the
+        # round-4 bedroom recon died at target ~60/62 after 80 min) resumes
+        # from the last completed group instead of restarting
         variables = pipe.reconstruct(
             variables, cali, jax.random.PRNGKey(1),
             progress=lambda nm, l: (n_done.append(nm), print(
                 f"  {nm}: {l:.4g} ({time.perf_counter() - t0:.0f}s)",
-                flush=True)))
+                flush=True)),
+            checkpoint_dir=state_dir)
         print(f"recon FULL plan ({len(n_done)} targets, iters={cfg.iters}, "
               f"group={cfg.recon_group_size}): "
               f"{time.perf_counter() - t0:.0f}s", flush=True)
         mem("recon")
         if args.phase == "recon":
             save_quant_state(qs_path, variables["unet"])
+            # drop the per-group resume state (final state is in qs_path);
+            # a stale recon_state would short-circuit a future fresh recon
+            import shutil
+            shutil.rmtree(os.path.join(state_dir, "recon_state"),
+                          ignore_errors=True)
+            meta = os.path.join(state_dir, "recon_state.meta.json")
+            if os.path.exists(meta):
+                os.remove(meta)
             print("phase=recon complete; state saved", flush=True)
             return
 

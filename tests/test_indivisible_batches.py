@@ -61,6 +61,49 @@ def test_capture_keeps_all_rows(setup):
                                    np.asarray(full[kp]), rtol=1e-5, atol=1e-5)
 
 
+def test_capture_oom_retry(setup, monkeypatch):
+    """capture_target recovers from RESOURCE_EXHAUSTED: first retry clears
+    executable caches, later retries halve the capture batch (round-4
+    bedroom recon died on a late-plan capture OOM after 80 min)."""
+    import eda_dm_tpu.calib.recon as recon_mod
+    model, variables, cali = setup
+    plan = ddpm_recon_plan(ARCH, model.qc)
+    target = next(t for t in plan if t.kind == "block")
+    keep = (target.path + ("block_in",), target.path + ("block_out",))
+    full, _ = capture_target(model, variables, cali, (), FP_CAPTURE, keep,
+                             batch_size=None)
+
+    real = recon_mod._capture_batch
+    fails = {"n": 2}
+    seen_bs = []
+
+    def flaky(model, variables, batch, path, keep_, mode, cast=None):
+        seen_bs.append(batch[0].shape[0])
+        if fails["n"]:
+            fails["n"] -= 1
+            raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
+        return real(model, variables, batch, path, keep_, mode, cast)
+
+    monkeypatch.setattr(recon_mod, "_capture_batch", flaky)
+    out, _ = capture_target(model, variables, cali, (), FP_CAPTURE, keep,
+                            batch_size=8)
+    # attempt 1: bs=8 (fails), attempt 2: bs=8 after cache clear (fails),
+    # attempt 3: bs=4
+    assert seen_bs[:3] == [8, 8, 4]
+    for kp in keep:
+        assert out[kp].shape[0] == 11
+        np.testing.assert_allclose(np.asarray(out[kp]),
+                                   np.asarray(full[kp]), rtol=1e-5, atol=1e-5)
+
+    # a non-OOM error propagates immediately
+    def broken(*a, **k):
+        raise RuntimeError("INVALID_ARGUMENT: something else")
+    monkeypatch.setattr(recon_mod, "_capture_batch", broken)
+    with pytest.raises(RuntimeError, match="INVALID_ARGUMENT"):
+        capture_target(model, variables, cali, (), FP_CAPTURE, keep,
+                       batch_size=8)
+
+
 def test_act_scale_init_sees_tail_rows(setup):
     model, variables, (x, t) = setup
     variables = set_weight_quantize_params(model, variables, (x, t),
