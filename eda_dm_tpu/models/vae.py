@@ -159,12 +159,28 @@ class FirstStage(nn.Module):
                 (cfg.n_embed, cfg.embed_dim))
 
     def quantize(self, z):
-        """Nearest-codebook lookup (taming VectorQuantizer2 inference path)."""
+        """Nearest-codebook lookup (taming VectorQuantizer2 inference path).
+
+        The (pixels, n_embed) distance matrix is never materialized whole:
+        at production decode shapes it is HBM-scale (cin256: batch 50 ×
+        64² latents × 16384 codes = 13.4 GB f32 — OOM'd the round-4
+        queue), so rows are processed in lax.map chunks (≤0.5 GB each,
+        sequential, same argmin)."""
         flat = z.reshape(-1, self.cfg.embed_dim)
-        d = (jnp.sum(flat ** 2, axis=1, keepdims=True)
-             - 2.0 * flat @ self.codebook.T
-             + jnp.sum(self.codebook ** 2, axis=1)[None, :])
-        idx = jnp.argmin(d, axis=1)
+        cb2 = jnp.sum(self.codebook ** 2, axis=1)[None, :]
+
+        def nearest(fc):
+            d = (jnp.sum(fc ** 2, axis=1, keepdims=True)
+                 - 2.0 * fc @ self.codebook.T + cb2)
+            return jnp.argmin(d, axis=1)
+
+        n = flat.shape[0]
+        chunk = min(n, 8192)
+        if n % chunk:
+            flat = jnp.pad(flat, ((0, -n % chunk), (0, 0)))
+        idx = jax.lax.map(nearest,
+                          flat.reshape(-1, chunk, self.cfg.embed_dim))
+        idx = idx.reshape(-1)[:n]
         zq = self.codebook[idx].reshape(z.shape)
         # straight-through (inference: value identical to zq)
         return z + jax.lax.stop_gradient(zq - z)
