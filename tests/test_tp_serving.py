@@ -91,6 +91,30 @@ def test_sp_spatial_forward_matches():
     assert d.max() < 0.15 and d.mean() < 0.01, (d.max(), d.mean())
 
 
+def test_tp_native_int8_serving():
+    """The DEPLOY_INT8 export composes with tp sharding: integer weight
+    codes and per-channel epilogue state shard by the same last-axis rule
+    as the kernels they dequantize."""
+    from eda_dm_tpu.quant.export import (export_serving_int8, DEPLOY_INT8)
+    model, variables, x, t = _setup()
+    serving = export_serving_int8(variables, model.qc)
+    ref = np.asarray(model.apply(serving, x, t, DEPLOY_INT8))
+
+    mesh = make_mesh2d(2, 4)
+    vs = shard_params_tp(mesh, serving)
+    n_int8 = sum(
+        1 for leaf in jax.tree.leaves(vs)
+        if leaf.dtype == jnp.int8 and leaf.sharding.spec != P())
+    assert n_int8 >= 5, f"only {n_int8} int8 code tensors tp-sharded"
+    xb = jax.device_put(x, NamedSharding(mesh, P("dp", None, None, None)))
+    out = np.asarray(jax.jit(
+        lambda v, a, b: model.apply(v, a, b, DEPLOY_INT8))(vs, xb, t))
+    d = np.abs(out - ref)
+    # int8 codes are layout-invariant; only the f32 epilogues and the
+    # activation-quant boundaries can drift (see tp forward test)
+    assert d.max() < 0.15 and d.mean() < 0.01, (d.max(), d.mean())
+
+
 def test_tp_sample_trajectory():
     from eda_dm_tpu.samplers.schedules import get_beta_schedule, skip_sequence
     from eda_dm_tpu.samplers.ddim import generalized_steps
