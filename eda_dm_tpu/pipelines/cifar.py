@@ -157,8 +157,12 @@ class CifarPipeline:
 
     # ------------------------------------------------------------------
     def reconstruct(self, variables, cali_data, key,
-                    progress=None):
-        """Block/layer reconstruction (sample_diffusion_ddim.py:290-319)."""
+                    progress=None, checkpoint_dir=None):
+        """Block/layer reconstruction (sample_diffusion_ddim.py:290-319).
+
+        ``checkpoint_dir`` enables per-group checkpoint/resume
+        (utils/checkpointing.py::resumable_reconstruct), same contract as
+        the latent pipeline."""
         cfg = self.cfg
         args = ReconArgs(iters=cfg.iters, batch_size=cfg.recon_batch_size,
                          lr_w=cfg.lr_w, lr_a=cfg.lr_a, add_loss=cfg.add_loss,
@@ -166,6 +170,13 @@ class CifarPipeline:
                          capture_batch_size=cfg.capture_batch_size,
                          cache_dtype=cfg.cache_dtype)
         plan = ddpm_recon_plan(cfg.arch, self.qc)
+        if checkpoint_dir is not None:
+            from ..utils.checkpointing import resumable_reconstruct
+            return resumable_reconstruct(
+                self.model, variables, cali_data, plan, args, key,
+                checkpoint_dir, progress=progress,
+                group_size=cfg.recon_group_size,
+                group_window=cfg.recon_group_window)
         return reconstruct(self.model, variables, cali_data, plan, args, key,
                            progress=progress,
                            group_size=cfg.recon_group_size,
