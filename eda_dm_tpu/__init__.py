@@ -12,4 +12,4 @@ __version__ = "0.1.0"
 
 from . import quant  # noqa: F401
 from .api import (quantize_model, calibrate, reconstruct,  # noqa: F401
-                  export_for_serving)
+                  export_for_serving, save_bundle, load_bundle)

@@ -100,7 +100,7 @@ def reconstruct(model, variables: Dict[str, Any], cali_data: Sequence,
 
 
 def export_for_serving(variables: Dict[str, Any], qc: QuantConfig,
-                       kind: str = "int8"
+                       kind: str = "int8", lean: bool = True
                        ) -> Tuple[Dict[str, Any], QuantMode]:
     """Deployment export.  Returns ``(variables, serve_mode)`` — always
     forward with the returned mode; each export kind is only correct under
@@ -113,11 +113,41 @@ def export_for_serving(variables: Dict[str, Any], qc: QuantConfig,
                    ``DEPLOY``.
     kind='fold'  → folded weights at original dtype (exact ≡ fake-quant),
                    served under ``DEPLOY``.
+
+    ``lean`` (int8/bf16 kinds) strips the AdaRound alphas to placeholders —
+    kernel-sized f32 leaves the DEPLOY graphs never read (~1.1 GB HBM on
+    the bedroom UNet); pass ``lean=False`` to keep a tree that can be
+    re-folded or re-calibrated.
     """
+    from .quant.export import strip_alphas
     if kind == "int8":
-        return export_serving_int8(variables, qc), DEPLOY_INT8
+        out = export_serving_int8(variables, qc)
+        return (strip_alphas(out) if lean else out), DEPLOY_INT8
     if kind == "bf16":
-        return export_serving(variables, qc), DEPLOY
+        out = export_serving(variables, qc)
+        return (strip_alphas(out) if lean else out), DEPLOY
     if kind == "fold":
         return fold_quantized_weights(variables, qc), DEPLOY
     raise ValueError(f"unknown export kind: {kind!r}")
+
+
+def save_bundle(variables: Dict[str, Any], qc: QuantConfig,
+                path: str) -> Dict[str, Any]:
+    """Build and persist the packed-int4 deployment artifact (the hand-off
+    the reference ships as its Google-Drive W4A8 weights, README.md:70-73):
+    4-bit codes two-per-byte + per-channel scales, folded kernels / code
+    sums / AdaRound alphas dropped and rebuilt exactly at load.  Returns
+    the size stats (bundle bytes, fp32 bytes, compression ratio)."""
+    from .quant.export import serving_bundle
+    from .utils.checkpointing import save_serving_bundle
+    bundle, stats = serving_bundle(variables, qc)
+    save_serving_bundle(path, bundle, stats)
+    return stats
+
+
+def load_bundle(path: str) -> Tuple[Dict[str, Any], QuantMode]:
+    """Load a :func:`save_bundle` artifact into a serve-ready tree.
+    Returns ``(variables, DEPLOY_INT8)`` — bit-identical serving to the
+    in-memory ``export_for_serving(kind='int8')`` output."""
+    from .utils.checkpointing import load_serving_bundle
+    return load_serving_bundle(path), DEPLOY_INT8

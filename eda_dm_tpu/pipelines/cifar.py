@@ -254,8 +254,20 @@ class CifarPipeline:
         return None
 
     # ------------------------------------------------------------------
+    def serving_variables(self, variables, serve: str = "waq"):
+        """Deployment export of the quantized UNet: (variables, serve_mode).
+        serve='waq' keeps the fake-quant tree; 'fp' the unquantized FP32
+        baseline; 'int8'/'bf16'/'fold' run quant/export with their paired
+        modes (mirrors LDMPipeline.serving_variables)."""
+        if serve == "waq":
+            return variables, WAQ
+        if serve == "fp":
+            return variables, FP
+        from ..api import export_for_serving
+        return export_for_serving(variables, self.qc, kind=serve)
+
     def run(self, out_dir: Optional[str] = None, variables=None,
-            progress=None):
+            progress=None, serve: str = "waq"):
         """Full PTQ flow (sample_diffusion_ddim.py:265-323)."""
         key = self.root_key
         if variables is None:
@@ -268,4 +280,6 @@ class CifarPipeline:
             if self.cfg.recon:
                 variables = self.reconstruct(variables, cali_data, k_recon,
                                              progress=progress)
-        return variables, self.sample_fid(variables, out_dir=out_dir)
+        serving, mode = self.serving_variables(variables, serve)
+        return variables, self.sample_fid(serving, out_dir=out_dir,
+                                          mode=mode)

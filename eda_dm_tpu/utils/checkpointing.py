@@ -47,6 +47,26 @@ def load_quant_state(path: str, variables: Dict[str, Any]) -> Dict[str, Any]:
             "quant": deep_merge(template, jax.tree.map(np.asarray, quant))}
 
 
+def save_serving_bundle(path: str, bundle: Dict[str, Any],
+                        stats: Optional[Dict[str, Any]] = None) -> None:
+    """Persist a :func:`~eda_dm_tpu.quant.export.serving_bundle` artifact
+    (packed-int4 codes + scales; the deployment hand-off the reference ships
+    as Google-Drive W4A8 weights, README.md:70-73)."""
+    path = os.path.abspath(path)
+    _ckptr().save(path, bundle, force=True)
+    if stats is not None:
+        with open(path + ".meta.json", "w") as f:
+            json.dump(stats, f)
+
+
+def load_serving_bundle(path: str, dtype=None) -> Dict[str, Any]:
+    """Load a serving bundle and rebuild the full serve-ready variable tree
+    (DEPLOY / DEPLOY_INT8 forwards bit-identical to the in-memory export)."""
+    from ..quant.export import restore_serving_bundle
+    raw = _ckptr().restore(os.path.abspath(path))
+    return restore_serving_bundle(raw, dtype)
+
+
 def load_meta(path: str) -> Optional[Dict[str, Any]]:
     meta_path = os.path.abspath(path) + ".meta.json"
     if os.path.exists(meta_path):

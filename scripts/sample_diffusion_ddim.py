@@ -46,6 +46,16 @@ def get_parser():
     p.add_argument("--sample_batch_size", type=int, default=500)
     p.add_argument("--resume_dir", type=str, default=None,
                    help="checkpoint dir to resume block reconstruction")
+    p.add_argument("--serve", default="waq",
+                   choices=["waq", "fp", "bf16", "int8", "fold"],
+                   help="sampling path: fake-quant, FP32 baseline, or a "
+                        "deployment export (int8 = native int8 MXU)")
+    p.add_argument("--export_bundle", type=str, default=None,
+                   help="after PTQ, save the packed-int4 deployment "
+                        "artifact (codes 2/byte + scales) to this path")
+    p.add_argument("--bundle", type=str, default=None,
+                   help="serve from a saved deployment bundle (skips "
+                        "calibration/reconstruction entirely)")
     return p
 
 
@@ -77,7 +87,20 @@ def main():
     pipe = CifarPipeline(cfg)
     img_dir = os.path.join(run_dir, "img")
     progress = lambda name, loss: log.info("recon %s loss %.5f", name, loss)
-    pipe.run(out_dir=img_dir, progress=progress)
+    if args.bundle:
+        from eda_dm_tpu.api import load_bundle
+        serving, mode = load_bundle(args.bundle)
+        log.info("serving from bundle %s (skipping PTQ)", args.bundle)
+        pipe.sample_fid(serving, out_dir=img_dir, mode=mode)
+    else:
+        variables, _ = pipe.run(out_dir=img_dir, progress=progress,
+                                serve=args.serve)
+        if args.export_bundle:
+            from eda_dm_tpu.api import save_bundle
+            stats = save_bundle(variables, pipe.qc, args.export_bundle)
+            log.info("bundle %s: %.1f MB, %.1fx smaller than fp32",
+                     args.export_bundle, stats["bundle_bytes"] / 1e6,
+                     stats["compression"])
     log.info("done; images in %s", img_dir)
 
 

@@ -78,6 +78,12 @@ def get_parser():
                    choices=["waq", "int8", "bf16"],
                    help="sampling path: fake-quant / native-int8 export / "
                         "bf16 folded")
+    p.add_argument("--export_bundle", type=str, default=None,
+                   help="after PTQ, save the packed-int4 UNet deployment "
+                        "artifact (codes 2/byte + scales) to this path")
+    p.add_argument("--bundle", type=str, default=None,
+                   help="(phase=sample) serve the UNet from a saved "
+                        "deployment bundle instead of the quant state")
     # --- conditioning ----------------------------------------------------
     p.add_argument("--text_encoder", default="clip",
                    choices=["clip", "bert", "tiny"],
@@ -197,9 +203,19 @@ def main():
                   nrow=args.n_rows, watermark=wm)
         log.info("grid preview saved to %s/grid-0000.png", run_dir)
 
+    def export_bundle(unet_vars):
+        if args.export_bundle:
+            from eda_dm_tpu.api import save_bundle
+            stats = save_bundle(unet_vars, pipe.qc, args.export_bundle)
+            log.info("bundle %s: %.1f MB, %.1fx smaller than fp32",
+                     args.export_bundle, stats["bundle_bytes"] / 1e6,
+                     stats["compression"])
+
     if args.phase == "all":
-        pipe.run(out_dir=img_dir, variables=variables, context=context,
-                 uncond=uncond, progress=progress, serve=args.serve)
+        variables, _ = pipe.run(out_dir=img_dir, variables=variables,
+                                context=context, uncond=uncond,
+                                progress=progress, serve=args.serve)
+        export_bundle(variables["unet"])
         save_preview_grid()
         log.info("done; images in %s", img_dir)
         return
@@ -226,8 +242,9 @@ def main():
         log.info("phase=calib complete; state in %s", state_dir)
         return
 
-    variables = {**variables,
-                 "unet": load_quant_state(qs_path, variables["unet"])}
+    if not (args.phase == "sample" and args.bundle):
+        variables = {**variables,
+                     "unet": load_quant_state(qs_path, variables["unet"])}
     if args.phase == "recon":
         data = np.load(cali_path)
         cali = tuple(jnp.asarray(data[k]) for k in sorted(data.files))
@@ -239,7 +256,14 @@ def main():
         return
 
     # phase == sample
-    serving, mode = pipe.serving_variables(variables, args.serve)
+    if args.bundle:
+        from eda_dm_tpu.api import load_bundle
+        unet_vars, mode = load_bundle(args.bundle)
+        serving = {**variables, "unet": unet_vars}
+        log.info("serving UNet from bundle %s", args.bundle)
+    else:
+        serving, mode = pipe.serving_variables(variables, args.serve)
+        export_bundle(variables["unet"])
     pipe.sample_fid(serving, out_dir=img_dir, mode=mode,
                     context_fn=pipe.make_context_fn(context, uncond))
     save_preview_grid()

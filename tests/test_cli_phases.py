@@ -96,3 +96,35 @@ def test_coco_cli_runs_weightless(tmp_path, monkeypatch, encoder):
     _run_cli(["--task", "coco", "--logdir", log, "--text_encoder", encoder,
               "--prompts_file", str(prompts)] + COMMON, monkeypatch, mc)
     assert _find_images(log)
+
+
+def test_bundle_export_and_serve_roundtrip(tmp_path, monkeypatch):
+    """--export_bundle writes the packed-int4 artifact; a fresh process
+    serving --bundle (no quant state) reproduces the same images."""
+    mc = tiny_model_cfg()
+    log = str(tmp_path / "run")
+    state = str(tmp_path / "state")
+    bundle = str(tmp_path / "bundle")
+    for phase in ("calib", "recon"):
+        _run_cli(["--task", "bedroom", "--phase", phase, "--logdir", log,
+                  "--state_dir", state] + COMMON, monkeypatch, mc)
+    _run_cli(["--task", "bedroom", "--phase", "sample", "--logdir", log,
+              "--state_dir", state, "--serve", "int8", "--skip_grid",
+              "--export_bundle", bundle] + COMMON, monkeypatch, mc)
+    import json
+    assert os.path.isdir(bundle)
+    with open(bundle + ".meta.json") as f:
+        stats = json.load(f)
+    assert stats["bundle_bytes"] < stats["fp32_bytes"]
+
+    log2 = str(tmp_path / "run2")
+    _run_cli(["--task", "bedroom", "--phase", "sample", "--logdir", log2,
+              "--state_dir", state, "--bundle", bundle, "--skip_grid"]
+             + COMMON, monkeypatch, mc)
+    from PIL import Image
+    a = sorted(_find_images(log))
+    b = sorted(_find_images(log2))
+    assert len(b) == 2
+    for pa, pb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(Image.open(pa)),
+                                      np.asarray(Image.open(pb)))
