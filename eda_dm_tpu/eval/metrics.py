@@ -50,6 +50,31 @@ def fid_from_features(f1: np.ndarray, f2: np.ndarray) -> float:
                             FeatureStats.from_features(f2))
 
 
+def standardized_fid(f1: np.ndarray, f2: np.ndarray,
+                     pool: Optional[np.ndarray] = None,
+                     eps: float = 1e-12) -> float:
+    """Frechet distance on per-dimension z-scored features.
+
+    For *random-init* extractor self-consistency comparisons only: deep
+    random-init activations wash out with depth (tiny absolute scale, a few
+    percent relative spread across images), so raw-feature Frechet
+    distances all collapse toward 0 and the covariances are numerically
+    singular.  Standardizing against the pooled population (``pool``
+    defaults to the two populations concatenated; pass the union when
+    comparing >2 arms so every pairwise number shares one scale) restores
+    the discriminative structure.  Verdicts built on these numbers must be
+    *ratios* (e.g. deviation-vs-quantization-gap, quant-gap-vs-noise-floor)
+    — standardization preserves ratios, not the ImageNet-FID scale.  With
+    pretrained weights use :func:`fid_from_features` (real FID) instead.
+    """
+    if pool is None:
+        pool = np.concatenate([f1, f2])
+    pool = np.asarray(pool, np.float64)
+    mu, sd = pool.mean(0), np.maximum(pool.std(0), eps)
+    return fid_from_features((np.asarray(f1, np.float64) - mu) / sd,
+                             (np.asarray(f2, np.float64) - mu) / sd)
+
+
 def inception_score(probs: np.ndarray, splits: int = 10) -> Tuple[float, float]:
     """IS from class-probability rows (torch-fidelity 'isc' semantics:
     exp(E_x KL(p(y|x) || p(y))), mean/std over splits)."""

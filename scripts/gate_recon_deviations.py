@@ -45,7 +45,17 @@ def main():
     ap.add_argument("--calib", type=int, default=256)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--dump", default="/tmp/gate_recon_dump.npz",
+                    help="save the three feature populations here so the "
+                         "metric can be recomputed without re-running recon")
+    ap.add_argument("--from-dump", default=None,
+                    help="recompute metrics from a saved --dump npz only")
     args = ap.parse_args()
+    if args.from_dump:
+        d = np.load(args.from_dump)
+        print(json.dumps(_metrics(d["f_f"], d["f_a"], d["f_b"],
+                                  int(d["iters"]), int(d["n"]))), flush=True)
+        return
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
@@ -143,21 +153,50 @@ def main():
         return np.concatenate(fs)
 
     f_f, f_a, f_b = feats(imgs_f), feats(imgs_a), feats(imgs_b)
-    fid_ab = fid_from_features(f_a, f_b)
-    fid_af = fid_from_features(f_a, f_f)
-    fid_bf = fid_from_features(f_b, f_f)
+    if args.dump:
+        np.savez_compressed(args.dump, f_f=f_f, f_a=f_a, f_b=f_b,
+                            iters=args.iters, n=args.n)
+        print(f"features dumped to {args.dump}", flush=True)
+    print(json.dumps(_metrics(f_f, f_a, f_b, args.iters, args.n)),
+          flush=True)
+
+
+def _metrics(f_f, f_a, f_b, iters, n):
+    """Standardized-feature Frechet distances + gate verdict.
+
+    Random-init InceptionV3 activations wash out with depth (~2e-4 mean
+    magnitude, ~2.5% relative variation across images), so raw-feature
+    Frechet distances all round to 0 and the covariances are numerically
+    singular.  ``standardized_fid`` z-scores against the pooled population;
+    the verdict here is a *ratio* (deviation A-vs-B against quantization
+    gap A-vs-FP), which standardization preserves.
+    """
+    from eda_dm_tpu.eval.metrics import standardized_fid
+
+    pool = np.concatenate([f_f, f_a, f_b]).astype(np.float64)
+    fid_ab = standardized_fid(f_a, f_b, pool)
+    fid_af = standardized_fid(f_a, f_f, pool)
+    fid_bf = standardized_fid(f_b, f_f, pool)
     # population split noise floor: A vs A's own halves
-    fid_noise = fid_from_features(f_a[: len(f_a) // 2],
-                                  f_a[len(f_a) // 2:])
-    result = {
+    fid_noise = standardized_fid(f_a[: len(f_a) // 2],
+                                 f_a[len(f_a) // 2:], pool)
+    if fid_af <= 2.0 * fid_noise:
+        gate = "INCONCLUSIVE"       # can't resolve the quantization gap
+    elif fid_ab < 0.25 * fid_af + fid_noise:
+        gate = "PASS"
+    else:
+        gate = "FAIL"
+    return {
         "fid_A_vs_B": round(fid_ab, 4),
         "fid_A_vs_FP": round(fid_af, 4),
         "fid_B_vs_FP": round(fid_bf, 4),
         "split_noise_floor": round(fid_noise, 4),
-        "gate": "PASS" if fid_ab < 0.25 * fid_af + fid_noise else "FAIL",
-        "iters": args.iters, "n": args.n,
+        "feat_scale": round(float(np.abs(pool).mean()), 8),
+        "feat_rel_spread": round(float((pool.std(0) /
+                                        (np.abs(pool).mean(0) + 1e-12)).mean()),
+                                 6),
+        "gate": gate, "iters": iters, "n": n,
     }
-    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -228,13 +228,22 @@ def main(argv=None):
     np.savez(os.path.join(out_dir, "features.npz"),
              fp=f_fp, quant=f_q)
     half = len(f_fp) // 2
+    if args.inception_weights:
+        fid = fid_from_features                  # real FID scale
+    else:
+        # random-init extractor: raw activations collapse (≈2e-4 scale,
+        # singular covariances — every raw Frechet distance rounds to 0);
+        # z-score against the pooled population so the quant-gap vs
+        # noise-floor *ratio* is meaningful (eval/metrics.standardized_fid)
+        from eda_dm_tpu.eval.metrics import standardized_fid
+        pool = np.concatenate([f_fp, f_q])
+        fid = lambda a, b: standardized_fid(a, b, pool)
     result = {
         "task": args.task, "serve": args.serve, "n": args.n,
         "real_weights": bool(args.ckpt),
         "real_inception": bool(args.inception_weights),
-        "fid_quant_vs_fp": round(fid_from_features(f_q, f_fp), 4),
-        "split_noise_floor": round(
-            fid_from_features(f_fp[:half], f_fp[half:]), 4),
+        "fid_quant_vs_fp": round(fid(f_q, f_fp), 4),
+        "split_noise_floor": round(fid(f_fp[:half], f_fp[half:]), 4),
     }
     with open(os.path.join(out_dir, "result.json"), "w") as f:
         json.dump(result, f)

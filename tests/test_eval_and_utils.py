@@ -29,6 +29,30 @@ def test_fid_analytic_mean_shift():
     assert abs(fid - 4.0) < 0.05
 
 
+def test_standardized_fid_resolves_collapsed_features():
+    """Random-init extractor regime: tiny absolute scale, small relative
+    spread.  Raw FID rounds to ~0 for shifted populations; standardized_fid
+    discriminates them, is ~0 for identical ones, and is scale-invariant
+    (the gate verdicts are ratios)."""
+    from eda_dm_tpu.eval.metrics import standardized_fid
+
+    rng = np.random.RandomState(0)
+    base = rng.randn(1, 16) * 2e-4              # collapsed mean activations
+    mk = lambda shift: base + rng.randn(512, 16) * 5e-6 + shift
+    f_a, f_b = mk(0.0), mk(4e-5)
+    assert abs(fid_from_features(f_a, f_b)) < 1e-4     # raw: vacuous
+    d_shift = standardized_fid(f_a, f_b)
+    d_same = standardized_fid(f_a, mk(0.0))
+    assert d_shift > 10.0 * max(d_same, 1e-9)
+    # shared-pool standardization preserves pairwise ratios under scaling
+    pool = np.concatenate([f_a, f_b])
+    r1 = (standardized_fid(f_a, f_b, pool) /
+          standardized_fid(f_a[:256], f_a[256:], pool))
+    r2 = (standardized_fid(f_a * 7.0, f_b * 7.0, pool * 7.0) /
+          standardized_fid(f_a[:256] * 7.0, f_a[256:] * 7.0, pool * 7.0))
+    np.testing.assert_allclose(r1, r2, rtol=1e-6)
+
+
 def test_inception_score_bounds():
     # uniform predictions → IS = 1; one-hot diverse → IS = n_classes
     uniform = np.full((1000, 10), 0.1)
