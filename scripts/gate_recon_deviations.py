@@ -50,6 +50,10 @@ def main():
                          "metric can be recomputed without re-running recon")
     ap.add_argument("--from-dump", default=None,
                     help="recompute metrics from a saved --dump npz only")
+    ap.add_argument("--control-seed", type=int, default=None,
+                    help="run only a reference-exact arm with this recon "
+                         "key and compare (paired) against the arms in "
+                         "--dump — recon seed-noise control")
     args = ap.parse_args()
     if args.from_dump:
         d = np.load(args.from_dump)
@@ -103,24 +107,17 @@ def main():
     plan = ddpm_recon_plan(arch, qc)
     print(f"plan: {len(plan)} targets", flush=True)
 
-    def run_recon(tag, group_size, window, cache_dtype, budget):
+    def run_recon(tag, group_size, window, cache_dtype, budget, key=2):
         t0 = time.perf_counter()
         ra = ReconArgs(iters=args.iters, batch_size=32,
                        cache_dtype=cache_dtype, capture_budget_bytes=budget)
         out = reconstruct(model, variables, cali, plan, ra,
-                          jax.random.PRNGKey(2),   # same key both arms
+                          jax.random.PRNGKey(key),  # same key A and B arms
                           group_size=group_size, group_window=window,
                           clear_caches_every=6)
         hard_sync(out["quant"])
         print(f"recon[{tag}]: {time.perf_counter() - t0:.0f}s", flush=True)
         return out
-
-    # A: reference-exact semantics; B: every shipped deviation at once.
-    # B's budget forces row-capping on the large early captures.
-    per_member = (args.calib * 32 * 32 * arch.ch * 4) * 6   # rough floor
-    v_a = run_recon("A ref-exact", 1, 0, None, 10 ** 18)
-    v_b = run_recon("B shipped", 4, 1, "bfloat16",
-                    max(per_member // 2, 64_000_000))
 
     betas = get_beta_schedule("linear", beta_start=1e-4, beta_end=0.02,
                               num_diffusion_timesteps=1000)
@@ -140,17 +137,42 @@ def main():
             outs.append(np.asarray(jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)))
         return np.concatenate(outs)
 
+    ext = InceptionExtractor()          # random-init: self-consistency
+    def feats(imgs):
+        fs = [ext.pool3(imgs[i:i + 32]) for i in range(0, len(imgs), 32)]
+        return np.concatenate(fs)
+
+    if args.control_seed is not None:
+        # Seed-control arm A′: reference-exact recon config, different
+        # optimizer key — measures recon's intrinsic stochasticity so the
+        # main run's paired d_AB can be compared against benign noise.
+        # Requires a prior run's --dump (same calib/arch/sampling keys).
+        v_c = run_recon(f"A' seed{args.control_seed}", 1, 0, None, 10 ** 18,
+                        key=args.control_seed)
+        t0 = time.perf_counter()
+        f_c = feats(sample_population(v_c, WAQ))
+        print(f"sampling+feats 1x{args.n}: "
+              f"{time.perf_counter() - t0:.0f}s", flush=True)
+        d = np.load(args.dump)
+        np.savez_compressed(args.dump.replace(".npz", "_seedctl.npz"),
+                            f_c=f_c, seed=args.control_seed)
+        print(json.dumps(_control_metrics(d["f_f"], d["f_a"], d["f_b"], f_c,
+                                          args.iters, args.n)), flush=True)
+        return
+
+    # A: reference-exact semantics; B: every shipped deviation at once.
+    # B's budget forces row-capping on the large early captures.
+    per_member = (args.calib * 32 * 32 * arch.ch * 4) * 6   # rough floor
+    v_a = run_recon("A ref-exact", 1, 0, None, 10 ** 18)
+    v_b = run_recon("B shipped", 4, 1, "bfloat16",
+                    max(per_member // 2, 64_000_000))
+
     t0 = time.perf_counter()
     imgs_f = sample_population(variables, FP)   # quant state unused in FP
     imgs_a = sample_population(v_a, WAQ)
     imgs_b = sample_population(v_b, WAQ)
     print(f"sampling 3x{args.n}: {time.perf_counter() - t0:.0f}s",
           flush=True)
-
-    ext = InceptionExtractor()          # random-init: self-consistency
-    def feats(imgs):
-        fs = [ext.pool3(imgs[i:i + 32]) for i in range(0, len(imgs), 32)]
-        return np.concatenate(fs)
 
     f_f, f_a, f_b = feats(imgs_f), feats(imgs_a), feats(imgs_b)
     if args.dump:
@@ -159,6 +181,37 @@ def main():
         print(f"features dumped to {args.dump}", flush=True)
     print(json.dumps(_metrics(f_f, f_a, f_b, args.iters, args.n)),
           flush=True)
+
+
+def _control_metrics(f_f, f_a, f_b, f_c, iters, n):
+    """Compare the deviation effect (A vs B) against recon's intrinsic
+    seed noise (A vs A′, same reference-exact config, different optimizer
+    key), both paired per-sample (shared xT per index).  The deviations
+    are benign if d_AB is comparable to d_AA′ — i.e. grouping/bf16/row-cap
+    moves samples no more than re-rolling the optimizer's minibatch/QDrop
+    randomness does."""
+    pool = np.concatenate([f_f, f_a, f_b, f_c]).astype(np.float64)
+    mu, sd = pool.mean(0), np.maximum(pool.std(0), 1e-12)
+    z = lambda f: (np.asarray(f, np.float64) - mu) / sd
+    zf, za, zb, zc = z(f_f), z(f_a), z(f_b), z(f_c)
+    d_ab = np.linalg.norm(za - zb, axis=1)
+    d_ac = np.linalg.norm(za - zc, axis=1)
+    d_af = np.linalg.norm(za - zf, axis=1)
+    med = lambda v: float(np.median(v))
+    ratio_dev_vs_seed = med(d_ab) / max(med(d_ac), 1e-12)
+    if ratio_dev_vs_seed < 1.25:
+        gate = "PASS"        # deviations within ~seed-noise of recon
+    elif ratio_dev_vs_seed < 2.0 and med(d_ab) < med(d_af):
+        gate = "WEAK-PASS"
+    else:
+        gate = "FAIL"
+    return {
+        "paired_d_AB_median": round(med(d_ab), 2),
+        "paired_d_AseedA_median": round(med(d_ac), 2),
+        "paired_d_AF_median": round(med(d_af), 2),
+        "ratio_deviation_over_seednoise": round(ratio_dev_vs_seed, 4),
+        "gate_seed_control": gate, "iters": iters, "n": n,
+    }
 
 
 def _metrics(f_f, f_a, f_b, iters, n):
@@ -180,10 +233,37 @@ def _metrics(f_f, f_a, f_b, iters, n):
     # population split noise floor: A vs A's own halves
     fid_noise = standardized_fid(f_a[: len(f_a) // 2],
                                  f_a[len(f_a) // 2:], pool)
-    if fid_af <= 2.0 * fid_noise:
-        gate = "INCONCLUSIVE"       # can't resolve the quantization gap
-    elif fid_ab < 0.25 * fid_af + fid_noise:
-        gate = "PASS"
+    # Paired per-sample analysis: the three populations share xT noise
+    # keys per index (sample_population folds the same kn), so per-sample
+    # feature distances measure each perturbation's effect directly, with
+    # no population-estimation noise.  Population-level Frechet numbers at
+    # n=256/d=2048 are bias-dominated (the split noise floor exceeds the
+    # cross-arm distances); the paired statistics are the load-bearing
+    # result.  Normalizing by the independent-pair floor (distance between
+    # different-noise samples of the same arm — full chaotic decorrelation)
+    # gives scale-free effect sizes.
+    mu_p, sd_p = pool.mean(0), np.maximum(pool.std(0), 1e-12)
+    z = lambda f: (np.asarray(f, np.float64) - mu_p) / sd_p
+    zf, za, zb = z(f_f), z(f_a), z(f_b)
+    d_ab = np.linalg.norm(za - zb, axis=1)
+    d_af = np.linalg.norm(za - zf, axis=1)
+    rng = np.random.default_rng(0)
+    i = rng.permutation(len(za))
+    j = (i + 1) % len(za)           # random different-noise partner
+    floor = np.linalg.norm(za[i] - za[j], axis=1)
+    med = lambda v: float(np.median(v))
+    ratio = med(d_ab) / max(med(d_af), 1e-12)
+    frac_less = float((d_ab < d_af).mean())
+
+    if fid_af <= 2.0 * fid_noise and ratio > 1.0:
+        gate = "INCONCLUSIVE"
+    elif ratio < 0.5 and frac_less > 0.9:
+        gate = "PASS"               # deviations ≪ quantization, per sample
+    elif ratio < 1.0 and frac_less > 0.75:
+        # smaller than quantization but not ≪ — whether it sits inside
+        # recon's intrinsic stochasticity is decided by the same-config
+        # different-seed arm (scripts/gate_seed_control.py)
+        gate = "WEAK-PASS"
     else:
         gate = "FAIL"
     return {
@@ -191,6 +271,11 @@ def _metrics(f_f, f_a, f_b, iters, n):
         "fid_A_vs_FP": round(fid_af, 4),
         "fid_B_vs_FP": round(fid_bf, 4),
         "split_noise_floor": round(fid_noise, 4),
+        "paired_d_AB_median": round(med(d_ab), 2),
+        "paired_d_AF_median": round(med(d_af), 2),
+        "indep_pair_floor_median": round(med(floor), 2),
+        "paired_ratio_AB_over_AF": round(ratio, 4),
+        "frac_samples_AB_less_AF": round(frac_less, 4),
         "feat_scale": round(float(np.abs(pool).mean()), 8),
         "feat_rel_spread": round(float((pool.std(0) /
                                         (np.abs(pool).mean(0) + 1e-12)).mean()),
