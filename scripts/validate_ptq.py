@@ -72,6 +72,9 @@ def get_parser():
     p.add_argument("--tiny", action="store_true",
                    help="swap in a tiny architecture (CI smoke / harness "
                         "check without real weights)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the local CPU platform (never touch the "
+                        "chip — e.g. while a chip queue is running)")
     return p
 
 
@@ -134,6 +137,8 @@ def build_latent(args):
 def main(argv=None):
     args = get_parser().parse_args(argv)
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from eda_dm_tpu.utils.run import seed_everything, enable_compilation_cache
     from eda_dm_tpu.quant.config import FP
