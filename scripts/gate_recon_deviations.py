@@ -54,6 +54,12 @@ def main():
                     help="run only a reference-exact arm with this recon "
                          "key and compare (paired) against the arms in "
                          "--dump — recon seed-noise control")
+    ap.add_argument("--with-control", type=int, default=None,
+                    help="after the main A/B/FP run, also run the "
+                         "seed-control arm (reference-exact, this optimizer "
+                         "key) in the same process — one handshake, one "
+                         "compile cache; control prints after the main "
+                         "metrics so a timeout still leaves them recorded")
     args = ap.parse_args()
     if args.from_dump:
         d = np.load(args.from_dump)
@@ -181,6 +187,16 @@ def main():
         print(f"features dumped to {args.dump}", flush=True)
     print(json.dumps(_metrics(f_f, f_a, f_b, args.iters, args.n)),
           flush=True)
+
+    if args.with_control is not None:
+        v_c = run_recon(f"A' seed{args.with_control}", 1, 0, None, 10 ** 18,
+                        key=args.with_control)
+        f_c = feats(sample_population(v_c, WAQ))
+        if args.dump:
+            np.savez_compressed(args.dump.replace(".npz", "_seedctl.npz"),
+                                f_c=f_c, seed=args.with_control)
+        print(json.dumps(_control_metrics(f_f, f_a, f_b, f_c,
+                                          args.iters, args.n)), flush=True)
 
 
 def _control_metrics(f_f, f_a, f_b, f_c, iters, n):
