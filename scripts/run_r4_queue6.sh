@@ -25,6 +25,11 @@ guard() {  # guard <seconds-this-phase-needs>
   return 0
 }
 
+# 0. BENCH on this machine first — session-4 taught that fresh stacks can
+# move the int8/bf16 balance; an early number leaves time to react before
+# the driver's end-of-round run.
+guard 1200 && timeout 1800 python bench.py 2>&1 | tail -3
+
 # 1. ImageNet (cin256 CFG): calib, recon, int8 sampling, snapshot
 guard 1500 && timeout 2400 python scripts/perf_ldm.py --task imagenet \
     --phase calib --calib 256 --traj-batch 32 2>&1 | tail -10
