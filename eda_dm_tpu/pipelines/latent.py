@@ -461,12 +461,21 @@ class LDMPipeline:
         """Deployment export of the quantized UNet: returns (variables,
         serve_mode).  serve='waq' keeps the fake-quant tree (mode WAQ);
         'fp' serves the unquantized FP32 model (the acceleration-ratio
-        baseline, reference README.md:92-124); 'int8'/'bf16'/'fold' run
-        quant/export with the paired mode."""
+        baseline, reference README.md:92-124); 'fpbf16' the same model
+        with a dtype-only bf16 cast — the strongest *unquantized*
+        configuration on TPU and the honest float denominator (see
+        bench.py); 'int8'/'bf16'/'fold' run quant/export with the paired
+        mode."""
         if serve == "waq":
             return variables, WAQ
         if serve == "fp":
             return variables, FP
+        if serve == "fpbf16":
+            unet16 = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+                variables["unet"])
+            return {**variables, "unet": unet16}, FP
         from ..api import export_for_serving
         unet_vars, mode = export_for_serving(variables["unet"], self.qc,
                                              kind=serve)

@@ -61,6 +61,14 @@ def main():
                          "compile cache; control prints after the main "
                          "metrics so a timeout still leaves them recorded")
     args = ap.parse_args()
+    # The main A/B arms run with optimizer key 2 (run_recon default); a
+    # control arm with the same key would be deterministically identical
+    # to A (d_AA' == 0) and spuriously FAIL the ratio gate.
+    for flag, val in (("--with-control", args.with_control),
+                      ("--control-seed", args.control_seed)):
+        if val == 2:
+            ap.error(f"{flag}=2 collides with the main A arm's recon key "
+                     "(run_recon key=2); pick any other key")
     if args.from_dump:
         d = np.load(args.from_dump)
         print(json.dumps(_metrics(d["f_f"], d["f_a"], d["f_b"],

@@ -45,11 +45,13 @@ def main():
                     help="tiny-batch quant-state init instead of TDAC + "
                          "full scale init (throughput/memory rows only)")
     ap.add_argument("--serve", default="waq",
-                    choices=["waq", "int8", "bf16", "fp"],
-                    help="sampling path: fake-quant WAQ, native-int8 export "
-                         "(DEPLOY_INT8: int8 convs/matmuls + int8 attention "
-                         "einsums), bf16 folded, or the FP32 baseline "
-                         "(acceleration-ratio denominator)")
+                    help="comma-separated sampling paths, timed in order in "
+                         "one process (one relay handshake / one init): "
+                         "waq fake-quant, int8 native export (DEPLOY_INT8: "
+                         "int8 convs/matmuls + int8 attention einsums), "
+                         "bf16 folded, fp FP32 baseline (acceleration-ratio "
+                         "denominator), fpbf16 dtype-only bf16-FP baseline "
+                         "(strongest float path)")
     ap.add_argument("--phase", default="all",
                     choices=["all", "calib", "recon", "sample"],
                     help="run one phase per process: compiled TPU programs "
@@ -109,12 +111,25 @@ def main():
     qs_path = os.path.join(state_dir, "quant_state")
     cali_path = os.path.join(state_dir, "cali.npz")
 
-    if args.phase in ("recon", "sample"):
+    serves = args.serve.split(",")
+    bad = [s for s in serves
+           if s not in ("waq", "int8", "bf16", "fp", "fpbf16")]
+    if bad:
+        ap.error(f"unknown --serve value(s): {bad}")
+    fp_serve = all(s in ("fp", "fpbf16") for s in serves)
+    if args.phase == "recon" or (args.phase == "sample" and not fp_serve):
         variables = {**variables,
                      "unet": load_quant_state(qs_path, variables["unet"])}
         data = np.load(cali_path)
         cali = tuple(jnp.asarray(data[k]) for k in sorted(data.files))
         print(f"loaded phase state from {state_dir}", flush=True)
+    elif args.phase == "sample":
+        # FP-family serving ignores quant state entirely — the baseline
+        # rows must not depend on a prior calib phase (round-4 verdict
+        # missing #2: per-task acceleration vs an FP serving baseline)
+        cali = ()
+        print("phase=sample, FP-family serve: quant state not loaded",
+              flush=True)
 
     t0 = time.perf_counter()
     key = jax.random.PRNGKey(0)
@@ -208,27 +223,43 @@ def main():
     if context is not None:
         ctx_b = context[:cfg.batch_size]
         unc_b = uncond[:cfg.batch_size]
-    serving, serve_mode = pipe.serving_variables(variables, args.serve)
-    t0 = time.perf_counter()
-    imgs = pipe.sample_batch(serving, jax.random.PRNGKey(2),
-                             context=ctx_b, uncond=unc_b, mode=serve_mode)
-    # real readback: relay block_until_ready can return early (PERF.md)
-    float(jnp.sum(imgs.astype(jnp.float32)))
-    compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for i in range(args.sample_batches):
-        imgs = pipe.sample_batch(serving, jax.random.PRNGKey(3 + i),
+    ms_per_step = {}
+    for serve in serves:
+        serving, serve_mode = pipe.serving_variables(variables, serve)
+        t0 = time.perf_counter()
+        imgs = pipe.sample_batch(serving, jax.random.PRNGKey(2),
                                  context=ctx_b, uncond=unc_b,
                                  mode=serve_mode)
-    float(jnp.sum(imgs.astype(jnp.float32)))
-    dt = (time.perf_counter() - t0) / args.sample_batches
-    print(f"sampling[serve={args.serve}]: batch {cfg.batch_size} x "
-          f"{cfg.custom_steps} steps "
-          f"+ VAE decode -> {imgs.shape} | first {compile_s:.0f}s, warm "
-          f"{dt:.1f}s/batch = {cfg.batch_size / dt:.2f} img/s, "
-          f"{dt / cfg.custom_steps * 1e3:.1f} ms/denoise-step", flush=True)
-    mem("sample")
-    print("finite:", bool(jnp.isfinite(imgs).all()), flush=True)
+        # real readback: relay block_until_ready can return early (PERF.md)
+        float(jnp.sum(imgs.astype(jnp.float32)))
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for i in range(args.sample_batches):
+            imgs = pipe.sample_batch(serving, jax.random.PRNGKey(3 + i),
+                                     context=ctx_b, uncond=unc_b,
+                                     mode=serve_mode)
+        float(jnp.sum(imgs.astype(jnp.float32)))
+        dt = (time.perf_counter() - t0) / args.sample_batches
+        ms_per_step[serve] = dt / cfg.custom_steps * 1e3
+        print(f"sampling[serve={serve}]: batch {cfg.batch_size} x "
+              f"{cfg.custom_steps} steps "
+              f"+ VAE decode -> {imgs.shape} | first {compile_s:.0f}s, warm "
+              f"{dt:.1f}s/batch = {cfg.batch_size / dt:.2f} img/s, "
+              f"{ms_per_step[serve]:.1f} ms/denoise-step", flush=True)
+        mem(f"sample[{serve}]")
+        print("finite:", bool(jnp.isfinite(imgs).all()), flush=True)
+        del serving, imgs
+        jax.clear_caches()   # free this serve's resident programs + trees
+    if len(serves) > 1:
+        # acceleration ratios in the reference's terms (README.md:92-124):
+        # quantized ms/step vs each FP-family baseline
+        for q in ("int8", "bf16", "waq"):
+            for f in ("fp", "fpbf16"):
+                if q in ms_per_step and f in ms_per_step:
+                    print(f"accel[{args.task}] {q} vs {f}: "
+                          f"{ms_per_step[f] / ms_per_step[q]:.3f}x "
+                          f"({ms_per_step[f]:.1f} -> {ms_per_step[q]:.1f} "
+                          f"ms/step)", flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,94 @@
+#!/bin/bash
+# Consolidated chip queue (round 5) — replaces run_r4_queue{,2,3,4,5,6}.sh
+# (round-4 verdict next #8).
+#
+# Fixes from ADVICE.md round 4:
+#  * the guard is the phase's own timeout, so an admitted phase can never
+#    overrun the deadline (low #3);
+#  * sample/validate phases are exit-code-gated on their calib/recon
+#    phases, so a timed-out recon can't masquerade as post-recon results
+#    (medium #1); recon gets one retry (per-group resume makes it cheap);
+#  * no pid-liveness waiting (low #4): the queue is self-contained.
+#
+# The deadline is read live from $DEADLINE_FILE (epoch seconds) before each
+# phase, so it can be extended/shortened while the queue runs (round
+# lengths vary: round 4 got 3.8 h of an advertised 12 h).
+#
+#   nohup bash scripts/run_queue.sh > /tmp/r5_queue.log 2>&1 &
+#   echo <epoch> > /tmp/r5_deadline     # adjust live
+set -x
+cd /root/repo
+DEADLINE_FILE=${DEADLINE_FILE:-/tmp/r5_deadline}
+[ -f "$DEADLINE_FILE" ] || echo $(($(date +%s) + 10800)) > "$DEADLINE_FILE"
+
+run() {  # run <timeout-s> <cmd...> — skip unless it can finish by DEADLINE
+  local t=$1; shift
+  local left=$(( $(cat "$DEADLINE_FILE") - $(date +%s) ))
+  if [ "$t" -gt "$left" ]; then
+    echo "=== SKIP (need ${t}s, ${left}s left): $*"
+    return 1
+  fi
+  echo "=== [$(date +%H:%M:%S)] start (timeout ${t}s): $*"
+  timeout "$t" "$@"
+  local rc=$?
+  echo "=== [$(date +%H:%M:%S)] rc=$rc: $*"
+  return $rc
+}
+
+PL="python scripts/perf_ldm.py"
+
+# ---------------------------------------------------------------------
+# 1. Acceleration table (round-4 verdict missing #2): fp / bf16-FP / int8
+#    ms/denoise-step per latent task, one process per task (one relay
+#    handshake + one model init; serving programs are freed between
+#    serves).  int8 timing is value-independent, so the 8-sample
+#    quick-calib quant state is an honest basis for the *timing* rows
+#    (quality rows come from the real calib+recon matrix below).
+#    This is the reference's quantized-vs-FP claim (README.md:92-124)
+#    stated per task on TPU.
+run 2400 $PL --task bedroom  --quick-calib --skip-recon --calib 64 \
+    --serve fp,fpbf16,int8 --sample-batches 2
+run 2400 $PL --task imagenet --quick-calib --skip-recon --calib 64 \
+    --serve fp,fpbf16,int8 --sample-batches 2
+run 3600 $PL --task church   --quick-calib --skip-recon --calib 64 \
+    --serve fp,fpbf16,int8 --sample-batches 2
+run 3600 $PL --task coco     --quick-calib --skip-recon --calib 64 \
+    --serve fp,fpbf16,int8 --sample-batches 2
+
+# 2. Recurring two-shape serving probe (verdict weak #7): CIFAR BENCH
+#    shape + bedroom shape, fp32/bf16-FP/int8 model-level steps/s.
+run 1800 python scripts/probe.py --stage serving-model
+
+# ---------------------------------------------------------------------
+# 3. Recon-deviation seed-noise control (verdict missing #3 / next #2).
+#    Main A/B/FP metrics print before the control arm, so a timeout still
+#    re-lands the paired result; control key 7 != the A arm's key 2.
+run 9000 python scripts/gate_recon_deviations.py --iters 500 --n 256 \
+    --with-control 7
+
+# ---------------------------------------------------------------------
+# 4-7. Task matrix: real calib -> recon (one retry; per-group resume) ->
+#      int8 sampling -> accuracy snapshot, exit-code-gated.
+matrix() {  # matrix <task> <calib-timeout> <recon-timeout> <traj-batch> [extra validate args]
+  local T=$1 CT=$2 RT=$3 TB=$4; shift 4
+  run "$CT" $PL --task "$T" --phase calib --calib 256 --traj-batch "$TB" \
+   && { run "$RT" $PL --task "$T" --phase recon --calib 256 --iters 50 \
+        || run "$RT" $PL --task "$T" --phase recon --calib 256 --iters 50; } \
+   && run 2400 $PL --task "$T" --phase sample --calib 256 --serve int8 \
+        --sample-batches 2 \
+   && run 3000 python scripts/validate_ptq.py --task "$T" --n 32 \
+        --quant_state "/tmp/perf_ldm_state/$T/quant_state" \
+        --custom_steps 20 --batch_size 8 --serve int8 "$@"
+}
+matrix imagenet 3000 4800 32
+matrix church   3600 4800 32
+matrix coco     3600 4800 8 --text_encoder tiny
+matrix bedroom  3600 4800 32
+
+# 8. CIFAR accuracy snapshot (real arch, reduced iters — recorded next to
+#    the latent snapshots; verdict next #3)
+run 3600 python scripts/validate_ptq.py --task cifar --n 64 \
+    --calib_num_samples 256 --iters 50 --timesteps 20 --batch_size 32 \
+    --serve int8
+
+echo "=== R5 QUEUE DONE ==="
