@@ -15,6 +15,8 @@ Stages (scripts/probes/*.py):
   mosaic-int8     can Mosaic drive the MXU int8 mode from Pallas?
   int8-sweep      full-model serving-knob sweep around the policy defaults
   serving         round-2 serving/export probe
+  serving-model   recurring two-shape (BENCH + bedroom) fp32/bf16-FP/int8
+                  full-model steps/s table (policy regression check)
   search          act-scale search scoring probe
   calib           calibration phase probe
   bench-sweep     BENCH gate x carrier x conv-dtype sweep (session 4/5)
@@ -35,6 +37,7 @@ STAGES = {
     "mosaic-int8": "mosaic_int8",
     "int8-sweep": "int8_sweep",
     "serving": "serving",
+    "serving-model": "serving_model",
     "search": "search",
     "calib": "calib",
     "bench-sweep": "bench_sweep",
