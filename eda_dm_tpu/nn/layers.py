@@ -100,17 +100,26 @@ class ActQuantizer(nn.Module):
         spec = self.spec
         if mode.calib_a:
             xf = x.reshape(-1).astype(dtype)
-            side = jnp.where(one_side.value == search.ONE_SIDE_UNSET,
-                             search.detect_one_side(xf), one_side.value)
+            # host-hoisted side (frozen after batch 1): trace only the
+            # taken 1-D/2-D branch for asymmetric quantizers
+            static_side = (dict(mode.static_sides).get(self.path)
+                           if mode.static_sides is not None else None)
+            if static_side is not None:
+                side = jnp.asarray(static_side, jnp.int32)
+            else:
+                side = jnp.where(one_side.value == search.ONE_SIDE_UNSET,
+                                 search.detect_one_side(xf), one_side.value)
             if spec.search_bins and xf.size > 4 * spec.search_bins:
                 # large tensors: exact-histogram scoring (quant/search.py)
                 lo, hi = search.search_range_hist(
                     xf, spec.n_levels, side, spec.symmetric,
-                    spec.num_candidates, spec.search_bins)
+                    spec.num_candidates, spec.search_bins,
+                    static_side=static_side)
             else:
                 lo, hi = search.search_range(xf, spec.n_levels, side,
                                              spec.symmetric,
-                                             spec.num_candidates)
+                                             spec.num_candidates,
+                                             static_side=static_side)
             # EMA range update; first batch seeds the running range
             new_min = jnp.where(inited.value,
                                 affine.ema_update(running_min.value,

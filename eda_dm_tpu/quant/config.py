@@ -78,6 +78,15 @@ class QuantMode:
                                  # ::export_serving_int8); int8 hits the MXU
                                  # ~1.3x faster than bf16 on v5e-class chips
                                  # and halves activation HBM traffic
+    static_sides: Optional[tuple] = None
+                                 # host-known ((module_path, side), ...) act
+                                 # one-sided-ness values, frozen after the
+                                 # first calibration batch (layers.py keeps
+                                 # the batch-1 side).  When present, the
+                                 # asymmetric (a_sym) search traces only the
+                                 # taken 1-D/2-D branch instead of compiling
+                                 # both under lax.cond
+                                 # (calib/scale_init.py hoists these)
 
     def replace(self, **kw) -> "QuantMode":
         return dataclasses.replace(self, **kw)

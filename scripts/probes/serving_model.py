@@ -1,4 +1,5 @@
-"""Recurring two-shape model-level serving probe (round-4 verdict weak #7).
+"""Recurring two-shape model-level serving probe + roofline (round-4
+verdict weak #7 and next #4).
 
 Times full-model scan-fused denoise steps/s at BOTH ends of the serving
 policy's decision surface — the CIFAR BENCH shape (batch 500, 32² pixels,
@@ -8,6 +9,14 @@ fp32-FP / bf16-FP / native-int8, so the shape-keyed policy crossovers
 (ops/serving_policy.py: einsum vs fused vs flash attention, conv paths)
 are regression-checked each round at both ends, not just bench.py's
 single BENCH point.
+
+Each path also reports its ROOFLINE position: XLA's optimized-module cost
+analysis of the same compiled scan gives bytes-accessed and flops per
+step, a separate sweep probe measures the chip's achievable HBM
+read+write bandwidth, and the row prints achieved steps/s as a fraction
+of the bandwidth-limited bound  BW / bytes_per_step.  This quantifies how
+far each serving path sits from its memory-bound speed-of-light
+(PERF.md's structural claim that the serving graph is bandwidth-bound).
 
     python scripts/probe.py --stage serving-model [--reps 3] [--k 20]
 """
@@ -25,21 +34,52 @@ import jax
 import jax.numpy as jnp
 
 
+def measure_membw(gib: float = 2.0, iters: int = 20):
+    """Achievable HBM read+write bandwidth (GB/s): chained elementwise
+    passes over a multi-GiB bf16 buffer in one jit, forced readback."""
+    n = int(gib * (1 << 30) / 2)
+    x = jnp.ones((n,), jnp.bfloat16)
+
+    def sweep(c):
+        def body(c, _):
+            return c * 1.0001 + 0.001, ()
+        return jax.lax.scan(body, c, None, length=iters)[0]
+    fn = jax.jit(sweep)
+    float(jnp.sum(fn(x)[:128].astype(jnp.float32)))     # compile + sync
+    t0 = time.perf_counter()
+    out = fn(x)
+    float(jnp.sum(out[:128].astype(jnp.float32)))
+    dt = time.perf_counter() - t0
+    return 2 * x.nbytes * iters / dt / 1e9              # read + write
+
+
 def _rate(model, v, x, t, mode, k, reps):
+    """(steps/s, bytes/step, flops/step) from one compiled scan: the same
+    executable is timed AND cost-analyzed (optimized-module bytes ≈ HBM
+    traffic; divided by the scan length for per-step numbers)."""
     def scan_fn(vv, x0, tt):
         def body(c, _):
             out = model.apply(vv, c, tt, mode=mode)
             return (c + 0.001 * out.astype(c.dtype)), ()
         c, _ = jax.lax.scan(body, x0, None, length=k)
         return jnp.sum(c.astype(jnp.float32))
-    fn = jax.jit(scan_fn)
-    float(fn(v, x, t))                       # compile + real readback sync
+    compiled = jax.jit(scan_fn).lower(v, x, t).compile()
+    nbytes = flops = float("nan")
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        nbytes = float(ca.get("bytes accessed", float("nan"))) / k
+        flops = float(ca.get("flops", float("nan"))) / k
+    except Exception as e:                   # backend without cost analysis
+        print(f"  (cost_analysis unavailable: {e})", flush=True)
+    float(compiled(v, x, t))                 # warm + real readback sync
     t0 = time.perf_counter()
     out = None
     for _ in range(reps):
-        out = fn(v, x, t)
+        out = compiled(v, x, t)
     float(out)                               # forced readback (PERF.md)
-    return reps * k / (time.perf_counter() - t0)
+    return reps * k / (time.perf_counter() - t0), nbytes, flops
 
 
 def main():
@@ -60,7 +100,9 @@ def main():
     enable_compilation_cache()
     qc = QuantConfig(weight_bit=4, act_bit=8)
     key = jax.random.PRNGKey(0)
-    results = {}
+    bw = measure_membw(0.25 if args.tiny else 2.0)
+    print(f"HBM read+write bandwidth: {bw:.1f} GB/s", flush=True)
+    results = {"membw_gbs": round(bw, 1)}
 
     for name in args.shapes.split(","):
         if name == "cifar":
@@ -109,20 +151,32 @@ def main():
         t = jnp.full((batch,), 500.0)
         x16 = x.astype(jnp.bfloat16)
 
-        row = {
-            "fp32": _rate(model, v, x, t, FP, args.k, args.reps),
-            "bf16fp": _rate(model, v16, x16, t, FP, args.k, args.reps),
-            "int8": _rate(model, s8, x16, t, DEPLOY_INT8, args.k,
-                          args.reps),
-        }
-        row["int8_vs_fp32"] = row["int8"] / row["fp32"]
-        row["int8_vs_bf16fp"] = row["int8"] / row["bf16fp"]
-        results[name] = {k_: round(v_, 3) for k_, v_ in row.items()}
-        print(f"[{name}] batch {batch} {res}x{res}: "
-              f"fp32 {row['fp32']:.2f} / bf16-FP {row['bf16fp']:.2f} / "
-              f"int8 {row['int8']:.2f} steps/s "
-              f"(int8 vs fp32 {row['int8_vs_fp32']:.3f}x, "
-              f"vs bf16-FP {row['int8_vs_bf16fp']:.3f}x)", flush=True)
+        rows = {}
+        for pname, (vv, xx, mm) in (("fp32", (v, x, FP)),
+                                    ("bf16fp", (v16, x16, FP)),
+                                    ("int8", (s8, x16, DEPLOY_INT8))):
+            rate, nbytes, flops = _rate(model, vv, xx, t, mm, args.k,
+                                        args.reps)
+            bound = bw * 1e9 / nbytes if nbytes == nbytes else float("nan")
+            rows[pname] = {
+                "steps_per_s": round(rate, 3),
+                "bytes_per_step_mib": round(nbytes / 2**20, 1),
+                "flops_per_step_t": round(flops / 1e12, 3),
+                "bw_bound_steps_per_s": round(bound, 2),
+                "frac_of_bound": round(rate / bound, 3)
+                if bound == bound else None,
+            }
+            print(f"[{name}:{pname}] {rate:.2f} steps/s, "
+                  f"{nbytes/2**20:.0f} MiB/step -> bw-bound "
+                  f"{bound:.2f} steps/s ({100*rate/bound:.0f}% of bound), "
+                  f"{flops/1e12:.2f} Tflop/step", flush=True)
+        rows["int8_vs_fp32"] = round(
+            rows["int8"]["steps_per_s"] / rows["fp32"]["steps_per_s"], 3)
+        rows["int8_vs_bf16fp"] = round(
+            rows["int8"]["steps_per_s"] / rows["bf16fp"]["steps_per_s"], 3)
+        results[name] = rows
+        print(f"[{name}] int8 vs fp32 {rows['int8_vs_fp32']}x, "
+              f"vs bf16-FP {rows['int8_vs_bf16fp']}x", flush=True)
         del v, v16, s8
         jax.clear_caches()
 

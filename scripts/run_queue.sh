@@ -39,21 +39,28 @@ PL="python scripts/perf_ldm.py"
 
 # ---------------------------------------------------------------------
 # 1. Acceleration table (round-4 verdict missing #2): fp / bf16-FP / int8
-#    ms/denoise-step per latent task, one process per task (one relay
-#    handshake + one model init; serving programs are freed between
-#    serves).  int8 timing is value-independent, so the 8-sample
-#    quick-calib quant state is an honest basis for the *timing* rows
-#    (quality rows come from the real calib+recon matrix below).
-#    This is the reference's quantized-vs-FP claim (README.md:92-124)
-#    stated per task on TPU.
-run 2400 $PL --task bedroom  --quick-calib --skip-recon --calib 64 \
-    --serve fp,fpbf16,int8 --sample-batches 2
-run 2400 $PL --task imagenet --quick-calib --skip-recon --calib 64 \
-    --serve fp,fpbf16,int8 --sample-batches 2
-run 3600 $PL --task church   --quick-calib --skip-recon --calib 64 \
-    --serve fp,fpbf16,int8 --sample-batches 2
-run 3600 $PL --task coco     --quick-calib --skip-recon --calib 64 \
-    --serve fp,fpbf16,int8 --sample-batches 2
+#    ms/denoise-step per latent task.  ONE SERVE PER PROCESS: compiled
+#    TPU programs stay resident on the relay for a process lifetime
+#    (PERF.md), and two production sampling programs already exhausted
+#    HBM on bedroom when chained in-process.  FP-family rows need no
+#    quant state at all (--phase sample skips calib); the int8 row uses
+#    the 8-sample quick-calib quant state — int8 *timing* is
+#    value-independent (quality rows come from the real calib+recon
+#    matrix below).  This is the reference's quantized-vs-FP claim
+#    (README.md:92-124) stated per task on TPU.
+accel() {  # accel <task> <fp-timeout> <int8-timeout>
+  local T=$1
+  run "$2" $PL --task "$T" --phase sample --serve fp     --calib 64 \
+      --sample-batches 2
+  run "$2" $PL --task "$T" --phase sample --serve fpbf16 --calib 64 \
+      --sample-batches 2
+  run "$3" $PL --task "$T" --quick-calib --skip-recon --serve int8 \
+      --calib 64 --sample-batches 2
+}
+accel bedroom  2400 3000
+accel imagenet 2400 3000
+accel church   2400 3000
+accel coco     2700 3600
 
 # 2. Recurring two-shape serving probe (verdict weak #7): CIFAR BENCH
 #    shape + bedroom shape, fp32/bf16-FP/int8 model-level steps/s.
