@@ -57,25 +57,14 @@ accel() {  # accel <task> <fp-timeout> <int8-timeout>
   run "$3" $PL --task "$T" --quick-calib --skip-recon --serve int8 \
       --calib 64 --sample-batches 2
 }
+# Ordering = priority: total timeout demand exceeds any plausible round
+# budget, and the deadline guard drops from the BACK.  Verdict missing #1
+# (imagenet matrix, two rounds old) and #2 (accel rows) come before the
+# gate; church/coco matrices and the probe trail.
+
 accel bedroom  2400 3000
 accel imagenet 2400 3000
-accel church   2400 3000
-accel coco     2700 3600
 
-# 2. Recurring two-shape serving probe (verdict weak #7): CIFAR BENCH
-#    shape + bedroom shape, fp32/bf16-FP/int8 model-level steps/s.
-run 1800 python scripts/probe.py --stage serving-model
-
-# ---------------------------------------------------------------------
-# 3. Recon-deviation seed-noise control (verdict missing #3 / next #2).
-#    Main A/B/FP metrics print before the control arm, so a timeout still
-#    re-lands the paired result; control key 7 != the A arm's key 2.
-run 9000 python scripts/gate_recon_deviations.py --iters 500 --n 256 \
-    --with-control 7
-
-# ---------------------------------------------------------------------
-# 4-7. Task matrix: real calib -> recon (one retry; per-group resume) ->
-#      int8 sampling -> accuracy snapshot, exit-code-gated.
 matrix() {  # matrix <task> <calib-timeout> <recon-timeout> <traj-batch> [extra validate args]
   local T=$1 CT=$2 RT=$3 TB=$4; shift 4
   run "$CT" $PL --task "$T" --phase calib --calib 256 --traj-batch "$TB" \
@@ -88,12 +77,26 @@ matrix() {  # matrix <task> <calib-timeout> <recon-timeout> <traj-batch> [extra 
         --custom_steps 20 --batch_size 8 --serve int8 "$@"
 }
 matrix imagenet 3000 4800 32
+
+# Recon-deviation seed-noise control (verdict missing #3 / next #2).
+# Main A/B/FP metrics print before the control arm, so a timeout still
+# re-lands the paired result; control key 7 != the A arm's key 2.
+run 9000 python scripts/gate_recon_deviations.py --iters 500 --n 256 \
+    --with-control 7
+
+accel church   2400 3000
+accel coco     2700 3600
+
 matrix church   3600 4800 32
 matrix coco     3600 4800 8 --text_encoder tiny
 matrix bedroom  3600 4800 32
 
-# 8. CIFAR accuracy snapshot (real arch, reduced iters — recorded next to
-#    the latent snapshots; verdict next #3)
+# Recurring two-shape serving probe (verdict weak #7): CIFAR BENCH
+# shape + bedroom shape, fp32/bf16-FP/int8 model-level steps/s.
+run 1800 python scripts/probe.py --stage serving-model
+
+# CIFAR accuracy snapshot (real arch, reduced iters — recorded next to
+# the latent snapshots; verdict next #3)
 run 3600 python scripts/validate_ptq.py --task cifar --n 64 \
     --calib_num_samples 256 --iters 50 --timesteps 20 --batch_size 32 \
     --serve int8
