@@ -50,7 +50,7 @@ ratios are judged against on TPU.
 import argparse
 import json
 import sys
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 sys.path.insert(0, "/root/repo")
 
@@ -169,7 +169,6 @@ def ldm_unet(a: Acc, cfg, b):
     a.dense_w(cfg.model_channels, temb, b)
     a.dense_w(temb, temb, b)
     res = cfg.image_size
-    sizes = {}  # key index -> spatial tokens when executed
 
     def run_item(it, s):
         if it.kind == "conv":
@@ -205,7 +204,6 @@ def ldm_unet(a: Acc, cfg, b):
     s = res * res
     for it in lay.input_blocks:
         s = run_item(it, s)
-        sizes[it.key.split("_")[0]] = s
     for it in lay.middle_block:
         s = run_item(it, s)
     for it in lay.output_blocks:
