@@ -226,6 +226,12 @@ def main():
     ms_per_step = {}
     for serve in serves:
         serving, serve_mode = pipe.serving_variables(variables, serve)
+        if len(serves) == 1:
+            # free the originals: serving either IS this tree (fp/waq) or
+            # replaces it (fpbf16/int8/bf16 export).  Keeping both OOMed
+            # the bedroom fpbf16 row on chip (fp32 UNet + bf16 copy +
+            # sampling workspace; relay HBM headroom is ~one UNet).
+            del variables
         t0 = time.perf_counter()
         imgs = pipe.sample_batch(serving, jax.random.PRNGKey(2),
                                  context=ctx_b, uncond=unc_b,
