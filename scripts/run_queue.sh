@@ -102,3 +102,10 @@ run 3600 python scripts/validate_ptq.py --task cifar --n 64 \
     --serve int8
 
 echo "=== R5 QUEUE DONE ==="
+
+# Makeup: bedroom fpbf16 row OOMed before the perf_ldm single-serve
+# free fix (bf02f1c); re-run with the fixed code.
+run 2400 $PL --task bedroom --phase sample --serve fpbf16 --calib 64 \
+    --sample-batches 2
+
+echo "=== R5 QUEUE DONE (incl. makeup) ==="
