@@ -3,8 +3,8 @@
 Round-2 verdict item: capture_target, set_act_quantize_params and
 dp_calibrate_acts all truncated the tail batch.  Capture now pads the tail
 by cyclic repetition (same compiled program) and slices back to n; scale
-init runs the tail ragged (exact stats); the dp path raises explicitly when
-the shape can't shard.
+init runs the tail ragged (exact stats); the dp path cyclic-pads the tail
+to the next mesh multiple (round-4 verdict weak #6).
 """
 
 import numpy as np
@@ -127,15 +127,32 @@ def test_act_scale_init_sees_tail_rows(setup):
                                    rtol=1e-6, atol=1e-6)
 
 
-def test_dp_calibrate_rejects_unshardable():
+def test_dp_calibrate_pads_unshardable():
+    """Indivisible calib sizes shard by cyclic-padding the tail to the
+    next mesh multiple (round-4 verdict weak #6 — the dp path used to
+    hard-error where the single-chip path pads/ragged-runs).  The padded
+    run must be bit-identical to calling dp with the same explicitly
+    pre-tiled batch, since that is exactly the batch the impl builds."""
     from eda_dm_tpu.parallel.mesh import make_mesh
     from eda_dm_tpu.parallel.dp import dp_calibrate_acts
     qc = QuantConfig()
     model = DDPMUNet(cfg=ARCH, qc=qc)
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (11, 16, 16, 3))   # 11 % 8 != 0
-    t = jnp.zeros((11,))
+    t = jnp.linspace(0.0, 90.0, 11)
     variables = model.init(key, x[:1], t[:1], FP)
     mesh = make_mesh()
-    with pytest.raises(ValueError, match="must divide"):
-        dp_calibrate_acts(model, variables, (x, t), mesh)
+    out = dp_calibrate_acts(model, variables, (x, t), mesh)
+    # manual equivalent of the impl's batching: full batch rows 0-7, then
+    # the 3-row tail cyclically tiled to the next mesh multiple (8)
+    idx = jnp.asarray(list(range(8)) + [8, 9, 10, 8, 9, 10, 8, 9])
+    ref = dp_calibrate_acts(model, variables, (x[idx], t[idx]), mesh,
+                            batch_size=8)
+    for (pa, a), (pb, b) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(out["quant"]),
+                   key=lambda kv: str(kv[0])),
+            sorted(jax.tree_util.tree_leaves_with_path(ref["quant"]),
+                   key=lambda kv: str(kv[0]))):
+        assert str(pa) == str(pb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(pa))
