@@ -159,6 +159,25 @@ def main():
         print(f"quick calib (8-sample quant state, {n} calib rows): "
               f"{time.perf_counter() - t0:.0f}s", flush=True)
         sel = None
+        if args.skip_recon and args.phase == "all":
+            # Clean-slate handoff: compiled TPU programs stay resident on
+            # the relay for the process lifetime (jax.clear_caches() does
+            # not evict them), and the quick-calib programs + a production
+            # sampling program together OOM on the bedroom+ shapes.  Save
+            # the quant state and re-exec into a fresh --phase sample
+            # process (same pid, so the queue's `timeout` still bounds it).
+            save_quant_state(qs_path, variables["unet"])
+            np.savez(cali_path, **{f"a{i}": np.asarray(a)
+                                   for i, a in enumerate(cali)})
+            print("quick-calib state saved; re-exec clean sampling process",
+                  flush=True)
+            sys.stdout.flush()
+            os.execv(sys.executable, [
+                sys.executable, os.path.abspath(__file__),
+                "--task", args.task, "--phase", "sample",
+                "--serve", args.serve, "--calib", str(args.calib),
+                "--sample-batches", str(args.sample_batches),
+                "--state-dir", args.state_dir])
     else:
         sel = pipe.tdac_calibration(variables, key, context=context,
                                     uncond=uncond)

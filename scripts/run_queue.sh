@@ -109,3 +109,10 @@ run 2400 $PL --task bedroom --phase sample --serve fpbf16 --calib 64 \
     --sample-batches 2
 
 echo "=== R5 QUEUE DONE (incl. makeup) ==="
+
+# Makeup: bedroom int8 accel row OOMed before the re-exec clean-slate
+# fix; re-run (quick-calib now saves state and execs a fresh sampler).
+run 3000 $PL --task bedroom --quick-calib --skip-recon --serve int8 \
+    --calib 64 --sample-batches 2
+
+echo "=== R5 QUEUE DONE (all makeups) ==="
