@@ -157,7 +157,10 @@ def church_config() -> LatentDiffusionConfig:
 
 def imagenet_config() -> LatentDiffusionConfig:
     """LDM-4 class-conditional ImageNet (configs/latent-diffusion/
-    cin256-v2.yaml)."""
+    cin256-v2.yaml — the config for_imagenet.sh loads; NOT
+    models/ldm/cin256/config.yaml, whose f8 VAE pairs with a 32²·4ch
+    latent).  First stage is VQ-f4: ch_mult (1,2,4), embed_dim 3,
+    n_embed 8192 (cin256-v2.yaml:40-58)."""
     return LatentDiffusionConfig(
         unet=LDMUNetConfig(image_size=64, in_channels=3, model_channels=192,
                            out_channels=3, num_res_blocks=2,
@@ -165,10 +168,10 @@ def imagenet_config() -> LatentDiffusionConfig:
                            channel_mult=(1, 2, 3, 5), num_heads=1,
                            use_spatial_transformer=True, transformer_depth=1,
                            context_dim=512),
-        vae=VAEConfig(ch=128, out_ch=3, ch_mult=(1, 2, 2, 4),
-                      num_res_blocks=2, attn_resolutions=(32,),
+        vae=VAEConfig(ch=128, out_ch=3, ch_mult=(1, 2, 4),
+                      num_res_blocks=2, attn_resolutions=(),
                       in_channels=3, resolution=256, z_channels=3,
-                      double_z=False, embed_dim=3, n_embed=16384),
+                      double_z=False, embed_dim=3, n_embed=8192),
         linear_start=0.0015, linear_end=0.0195, cond="class",
         n_classes=1001, class_embed_dim=512)
 

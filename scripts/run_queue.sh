@@ -116,3 +116,13 @@ run 3000 $PL --task bedroom --quick-calib --skip-recon --serve int8 \
     --calib 64 --sample-batches 2
 
 echo "=== R5 QUEUE DONE (all makeups) ==="
+
+# Makeup: imagenet fp/fpbf16 rows OOMed in the VAE decode while the
+# config wrongly paired the cin256 f8 VAE with the cin256-v2 f4 latent
+# (fixed in models/latent_diffusion.py); re-run with the f4 VAE.
+run 2400 $PL --task imagenet --phase sample --serve fp     --calib 64 \
+    --sample-batches 2
+run 2400 $PL --task imagenet --phase sample --serve fpbf16 --calib 64 \
+    --sample-batches 2
+
+echo "=== R5 QUEUE DONE (imagenet makeups) ==="
