@@ -22,11 +22,24 @@ def _ckptr():
     return ocp.PyTreeCheckpointer()
 
 
+def _to_host(tree):
+    """Fetch every leaf to host numpy before handing the tree to orbax.
+
+    Orbax's serialization awaits async device-to-host events, and on the
+    axon relay those are unreliable (same class of issue as
+    block_until_ready returning early, utils/run.py::relay_mode): a
+    quick-calib quant tree hung its save in a futex wait for >20 min on
+    chip.  A synchronous np.asarray readback is the proven-reliable
+    transfer path everywhere else in this repo, and orbax on pure host
+    arrays touches no device APIs."""
+    return jax.tree.map(np.asarray, tree)
+
+
 def save_quant_state(path: str, variables: Dict[str, Any],
                      meta: Optional[Dict[str, Any]] = None) -> None:
     """Persist the 'quant' collection (and optionally metadata)."""
     path = os.path.abspath(path)
-    _ckptr().save(path, variables["quant"], force=True)
+    _ckptr().save(path, _to_host(variables["quant"]), force=True)
     if meta is not None:
         with open(path + ".meta.json", "w") as f:
             json.dump(meta, f)
@@ -53,7 +66,7 @@ def save_serving_bundle(path: str, bundle: Dict[str, Any],
     (packed-int4 codes + scales; the deployment hand-off the reference ships
     as Google-Drive W4A8 weights, README.md:70-73)."""
     path = os.path.abspath(path)
-    _ckptr().save(path, bundle, force=True)
+    _ckptr().save(path, _to_host(bundle), force=True)
     if stats is not None:
         with open(path + ".meta.json", "w") as f:
             json.dump(stats, f)
