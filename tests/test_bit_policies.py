@@ -21,6 +21,7 @@ def _leaf(tree, path):
     return tree
 
 
+@pytest.mark.slow
 def test_ddpm_policies_at_act6():
     from eda_dm_tpu.models.ddpm_unet import DDPMUNet, DDPMConfig
     arch = DDPMConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,

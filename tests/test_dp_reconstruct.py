@@ -18,6 +18,8 @@ from eda_dm_tpu.calib.recon import ReconArgs, reconstruct
 from eda_dm_tpu.parallel.mesh import make_mesh
 from eda_dm_tpu.parallel.dp import dp_reconstruct
 
+pytestmark = pytest.mark.slow
+
 ARCH = DDPMConfig(ch=32, ch_mult=(1, 2), num_res_blocks=2,
                   attn_resolutions=(8,), resolution=16)
 

@@ -119,6 +119,7 @@ def test_layer_plan_structure():
     assert i_q < i_acts < i_proj
 
 
+@pytest.mark.slow
 def test_act_only_recon_trains_only_attn_deltas():
     """The act-only attention target updates q/k/v/w deltas and nothing
     else (attn_layer_recon.py:13-133)."""

@@ -10,6 +10,7 @@ from eda_dm_tpu.quant import QuantConfig, QuantMode, FP, WAQ, CALIB_W, CALIB_A
 from eda_dm_tpu.quant.export import fold_quantized_weights, DEPLOY
 
 
+@pytest.mark.slow
 def test_folded_deploy_matches_fakequant():
     arch = DDPMConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
                       attn_resolutions=(8,), resolution=16)
@@ -38,6 +39,7 @@ def test_folded_deploy_matches_fakequant():
     assert levels > 16
 
 
+@pytest.mark.slow
 def test_bf16_serving_quality():
     """export_serving (bf16 carrier) must stay close to the f32 fake-quant
     path: the carrier error has to be small relative to the quantization
@@ -113,6 +115,7 @@ def _calibrated_tiny():
     return model, qc, variables, x, t
 
 
+@pytest.mark.slow
 def test_int8_serving_matches_folded(monkeypatch):
     """DEPLOY_INT8 (integer weights, int8 convs, f32 dequant epilogue) must
     reproduce the folded-weight DEPLOY path.  The integer arithmetic is
@@ -175,6 +178,7 @@ def test_int8_conv_exact_on_shared_codes():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_int8_serving_quality_gate():
     """On fresh inputs the two serving paths may differ by isolated act-code
     flips (f32-association drift at rounding boundaries, amplified over 40
@@ -224,6 +228,7 @@ def _calibrated_tiny_ldm(num_heads=4):
     return model, qc, variables, x, t
 
 
+@pytest.mark.slow
 def test_ldm_folded_deploy_matches_fakequant():
     """Model-level fold gate for the LDM zoo (the DDPM twin above cannot see
     LDM-only layers: QKV attention, transformer denses, emb_layers).  Folded
@@ -238,6 +243,7 @@ def test_ldm_folded_deploy_matches_fakequant():
                                rtol=0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_ldm_int8_serving_quality_gate(monkeypatch):
     """LDM whole-model int8 serving (narrow fused attention + fused GN
     enabled, as the production queue runs it) stays within the fake-quant

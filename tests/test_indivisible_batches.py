@@ -61,6 +61,7 @@ def test_capture_keeps_all_rows(setup):
                                    np.asarray(full[kp]), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_capture_oom_retry(setup, monkeypatch):
     """capture_target recovers from RESOURCE_EXHAUSTED: first retry clears
     executable caches, later retries halve the capture batch (round-4
@@ -104,6 +105,7 @@ def test_capture_oom_retry(setup, monkeypatch):
                        batch_size=8)
 
 
+@pytest.mark.slow
 def test_act_scale_init_sees_tail_rows(setup):
     model, variables, (x, t) = setup
     variables = set_weight_quantize_params(model, variables, (x, t),
@@ -127,6 +129,7 @@ def test_act_scale_init_sees_tail_rows(setup):
                                    rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_dp_calibrate_pads_unshardable():
     """Indivisible calib sizes shard by cyclic-padding the tail to the
     next mesh multiple (round-4 verdict weak #6 — the dp path used to

@@ -106,6 +106,7 @@ def test_gnorm_keeps_carrier_dtype():
                                atol=2e-2)
 
 
+@pytest.mark.slow
 def test_ddpm_int8_serving_fused_gn_matches_unfused(monkeypatch):
     """Whole-model gate: EDM_FUSED_GN on vs off on the int8 serving path."""
     import os

@@ -30,6 +30,7 @@ def test_tdac_multi_batch_trajectories():
                                    np.asarray(sel.calib_x[j]))
 
 
+@pytest.mark.slow
 def test_dp_sharded_act_calibration_matches_single_device():
     """GSPMD-sharded activation calibration equals the single-device result
     (the reference has no distributed path; SURVEY §2 requires psum'd

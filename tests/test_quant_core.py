@@ -173,6 +173,7 @@ def test_hist_search_matches_exact_symmetric():
     assert e_hist <= e_exact * 1.02
 
 
+@pytest.mark.slow
 def test_hist_search_matches_exact_one_sided_and_2d():
     """One-sided (softmax-style) data and the asymmetric 2-D dispatch."""
     from eda_dm_tpu.quant.search import (search_range, search_range_hist,

@@ -59,6 +59,7 @@ def test_group_plan_groups_adjacent_same_signature(pipeline):
         assert all(_signature(t) == _signature(g[0]) for t in g)
 
 
+@pytest.mark.slow
 def test_grouped_equals_sequential_when_captures_fixed(pipeline, calibrated):
     """With asym=False every capture is FP (order-independent), so the
     grouped scan must reproduce the sequential result given the same member
@@ -98,6 +99,7 @@ def test_grouped_equals_sequential_when_captures_fixed(pipeline, calibrated):
                                    rtol=5e-5, atol=5e-6)
 
 
+@pytest.mark.slow
 def test_reconstruct_grouped_orchestration(pipeline, calibrated):
     """group_size>1 through the orchestrator: runs, reports every target,
     moves the alphas, and the result still samples."""
@@ -118,6 +120,7 @@ def test_reconstruct_grouped_orchestration(pipeline, calibrated):
     assert float(jnp.abs(a1 - a0).max()) > 0
 
 
+@pytest.mark.slow
 def test_resumable_reconstruct_grouped(pipeline, calibrated, tmp_path):
     """Per-group checkpointing: an interrupted run resumes past completed
     groups, keys match the uninterrupted stream, and the final state equals
@@ -178,6 +181,7 @@ def test_group_plan_window_bridges_interleaving(pipeline):
         assert all(_signature(t) == _signature(g[0]) for t in g)
 
 
+@pytest.mark.slow
 def test_bf16_cache_recon_close_to_f32(pipeline, calibrated):
     """bfloat16 activation caches (the memory lever that fits 64x64-latent /
     32x32-pixel captures on one chip) must leave reconstruction results close
@@ -210,6 +214,7 @@ def test_bf16_cache_recon_close_to_f32(pipeline, calibrated):
                                rtol=0.1, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_shared_capture_universe_equals_per_group(pipeline, calibrated):
     """shared_capture=True (one capture executable per mode for the whole
     plan, round-3) must produce exactly the same reconstruction as the

@@ -6,6 +6,7 @@ scales/zero-points, and nothing that can be rebuilt at load time.  Restoring
 must give bit-identical DEPLOY and DEPLOY_INT8 forwards.
 """
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -45,6 +46,7 @@ def test_pack_unpack_roundtrip():
     np.testing.assert_array_equal(back, codes)
 
 
+@pytest.mark.slow
 def test_bundle_compresses_and_restores_bit_identically(tmp_path):
     model, variables, qc, x, t = _calibrated()
     serving = export_serving_int8(variables, qc)
@@ -75,6 +77,7 @@ def test_bundle_compresses_and_restores_bit_identically(tmp_path):
         np.testing.assert_array_equal(out, ref)
 
 
+@pytest.mark.slow
 def test_restore_without_disk_roundtrip():
     model, variables, qc, x, t = _calibrated()
     serving = export_serving_int8(variables, qc)
@@ -86,6 +89,7 @@ def test_restore_without_disk_roundtrip():
     np.testing.assert_array_equal(out, ref)
 
 
+@pytest.mark.slow
 def test_strip_alphas_lean_serving():
     """Lean export (placeholder alphas) serves bit-identically in both
     DEPLOY modes and sheds the kernel-sized f32 leaves."""

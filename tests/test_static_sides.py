@@ -22,6 +22,10 @@ from eda_dm_tpu.calib.scale_init import (set_weight_quantize_params,
                                          set_act_quantize_params,
                                          host_sides, _calib_step)
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def _tiny_asym():
     arch = DDPMConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,

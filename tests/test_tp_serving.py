@@ -12,6 +12,10 @@ from eda_dm_tpu.quant import QuantConfig, QuantMode, FP, WAQ
 from eda_dm_tpu.parallel.tp import (make_mesh2d, shard_params_tp,
                                     shard_spatial, tp_spec, tp_sample)
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 ARCH = DDPMConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
                   attn_resolutions=(8,), resolution=16)
 

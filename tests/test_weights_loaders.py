@@ -112,6 +112,7 @@ def test_loader_bn_folding_exact():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_loader_end_to_end_forward(fid_model_and_state):
     """FIDInceptionV3 forward on loaded params: finite pool3 features with
     the FID feature width (2048)."""
