@@ -39,6 +39,13 @@ run 3900 python scripts/gate_recon_deviations.py --iters 400 --n 160 \
 # 3. two-shape serving probe (XLA cost-analysis roofline split)
 run 1800 python scripts/probe.py --stage serving-model
 
+# 3b. insurance: imagenet int8 quick-calib row, only needed if the
+#     matrix sample row (post-recon) never landed
+if [ ! -f /tmp/imagenet_int8_row_done ]; then
+  run 3000 $PL --task imagenet --quick-calib --skip-recon --serve int8 \
+      --calib 64 --sample-batches 2
+fi
+
 # 4. opportunistic: coco accel rows
 run 2400 $PL --task coco --phase sample --serve fp     --calib 64 \
     --sample-batches 2
