@@ -26,27 +26,32 @@ run() {
 
 PL="python scripts/perf_ldm.py"
 
-# 1. imagenet fp32 accel makeup (transient ABORTED on the first try)
+# Priorities for a ~40-min drain window (deadline guard arbitrates):
+# probe > imagenet fp32 makeup > minimal gate control > insurance > coco.
+
+# 1. two-shape serving probe: XLA cost-analysis + measured HBM BW
+#    roofline split for BENCH + bedroom (verdict weak #1/#7, next #4)
+run 1800 python scripts/probe.py --stage serving-model
+
+# 2. imagenet fp32 accel makeup (transient ABORTED on the first try)
 run 2400 $PL --task imagenet --phase sample --serve fp --calib 64 \
     --sample-batches 2
 
-# 2. recon-deviation seed-noise control, right-sized for the window
+# 3. recon-deviation seed-noise control, sized to the window: the
+#    decision rule (paired d(A,A') vs d(A,B)) executes at reduced power
 run 3900 python scripts/gate_recon_deviations.py --iters 400 --n 160 \
     --with-control 7 \
- || run 2400 python scripts/gate_recon_deviations.py --iters 300 --n 96 \
+ || run 2700 python scripts/gate_recon_deviations.py --iters 250 --n 96 \
     --with-control 7
 
-# 3. two-shape serving probe (XLA cost-analysis roofline split)
-run 1800 python scripts/probe.py --stage serving-model
-
-# 3b. insurance: imagenet int8 quick-calib row, only needed if the
-#     matrix sample row (post-recon) never landed
+# 4. insurance: imagenet int8 quick-calib row, only if the matrix
+#    sample row (post-recon) never landed
 if [ ! -f /tmp/imagenet_int8_row_done ]; then
   run 3000 $PL --task imagenet --quick-calib --skip-recon --serve int8 \
       --calib 64 --sample-batches 2
 fi
 
-# 4. opportunistic: coco accel rows
+# 5. opportunistic: coco accel rows
 run 2400 $PL --task coco --phase sample --serve fp     --calib 64 \
     --sample-batches 2
 run 2400 $PL --task coco --phase sample --serve fpbf16 --calib 64 \
