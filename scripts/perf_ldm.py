@@ -40,6 +40,12 @@ def main():
     ap.add_argument("--sample-batches", type=int, default=2)
     ap.add_argument("--budget", type=float, default=6e9,
                     help="recon cache byte budget per group")
+    ap.add_argument("--recon-rows", type=int, default=0,
+                    help="cap the calibration rows used by --phase recon "
+                         "(asym capture re-runs the quantized prefix per "
+                         "target over all rows, so deep-plan wall-clock is "
+                         "linear in rows; CFG-aware: takes the first k of "
+                         "each [uncond; cond] half)")
     ap.add_argument("--skip-recon", action="store_true")
     ap.add_argument("--quick-calib", action="store_true",
                     help="tiny-batch quant-state init instead of TDAC + "
@@ -123,6 +129,17 @@ def main():
         data = np.load(cali_path)
         cali = tuple(jnp.asarray(data[k]) for k in sorted(data.files))
         print(f"loaded phase state from {state_dir}", flush=True)
+        if args.recon_rows and args.recon_rows < cali[0].shape[0]:
+            k = args.recon_rows
+            if pipe.is_conditional:
+                # CFG layout: rows are [uncond-half; cond-half]
+                # (build_cali_data) — keep the first k//2 of EACH half
+                h = cali[0].shape[0] // 2
+                idx = np.r_[0:k // 2, h:h + k // 2]
+                cali = tuple(a[idx] for a in cali)
+            else:
+                cali = tuple(a[:k] for a in cali)
+            print(f"recon rows capped to {cali[0].shape[0]}", flush=True)
     elif args.phase == "sample":
         # FP-family serving ignores quant state entirely — the baseline
         # rows must not depend on a prior calib phase (round-4 verdict
