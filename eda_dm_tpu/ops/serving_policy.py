@@ -138,3 +138,28 @@ def use_fused_gn(h: int, w: int, c: int) -> bool:
     if force is not True:
         return False
     return fused_gn_applicable(h, w, c)
+
+
+def preferred_export_kind(use_spatial_transformer: bool) -> str:
+    """Best *quantized* serving export per architecture family, by
+    measurement (PERF.md round 5):
+
+    * conv/legacy-attention UNets (CIFAR DDPM, bedroom/church LDM):
+      native int8 — 1.21×/1.02× (BENCH) and 1.66×/1.60× (bedroom
+      UNet-only) vs fp32/bf16-FP;
+    * spatial-transformer UNets (cin256-v2 ImageNet, SD v1.4): the
+      native-int8 path measured 3.1× SLOWER than bf16-FP (1504.5 vs
+      482.4 ms/step, imagenet production shape) — the policy defaults
+      were swept on conv-family shapes only, and the tx shapes
+      (single-head S≥1024 self-attention, GEGLU 1×1 convs, ctx k/v)
+      land on losing branches.  Until a tx-shape sweep exists, the
+      folded-weight W4A8 path (int-grid weights folded to bf16) is the
+      measured-safe quantized serving for this family.
+
+    ``EDM_SERVE_KIND`` overrides (value: ``int8`` | ``bf16``).
+    """
+    import os
+    force = os.environ.get("EDM_SERVE_KIND")
+    if force in ("int8", "bf16"):
+        return force
+    return "bf16" if use_spatial_transformer else "int8"

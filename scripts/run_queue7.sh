@@ -20,7 +20,7 @@ run() {
 PL="python scripts/perf_ldm.py"
 run 2100 $PL --task imagenet --phase sample --calib 256 --serve bf16 \
     --sample-batches 2
-run 1800 python scripts/probe.py --stage serving-model
+
 run 1800 $PL --task church --phase sample --serve fp --calib 64 \
     --sample-batches 2
 echo "=== R5 QUEUE7 DONE ==="

@@ -75,9 +75,11 @@ def get_parser():
     p.add_argument("--state_dir", type=str, default=None,
                    help="phase-handoff dir (default <logdir>/state)")
     p.add_argument("--serve", default="waq",
-                   choices=["waq", "int8", "bf16"],
+                   choices=["waq", "int8", "bf16", "auto"],
                    help="sampling path: fake-quant / native-int8 export / "
-                        "bf16 folded")
+                        "bf16 folded / auto = the measured-best quantized "
+                        "export for the architecture family "
+                        "(serving_policy.preferred_export_kind)")
     p.add_argument("--export_bundle", type=str, default=None,
                    help="after PTQ, save the packed-int4 UNet deployment "
                         "artifact (codes 2/byte + scales) to this path")
@@ -163,6 +165,12 @@ def main():
     dump_config(cfg, run_dir)
 
     pipe = LDMPipeline(cfg)
+    if args.serve == "auto":
+        from eda_dm_tpu.ops.serving_policy import preferred_export_kind
+        args.serve = preferred_export_kind(
+            pipe.mc.unet.use_spatial_transformer)
+        log.info("serve=auto -> %s (architecture-family policy)",
+                 args.serve)
     variables = pipe.init_variables()
 
     context = uncond = None

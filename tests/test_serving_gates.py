@@ -88,3 +88,25 @@ def test_int8_acc_invalid_value_raises(monkeypatch):
     assert int8_acc_dtype() == jnp.float32
     monkeypatch.delenv("EDM_INT8_ACC")
     assert int8_acc_dtype() == jnp.int32
+
+
+def test_preferred_export_kind_family_policy(monkeypatch):
+    """Measured round-5 policy: native int8 for conv/legacy-attention
+    UNets, folded bf16 for spatial-transformer UNets (imagenet int8 row
+    measured 3.1x slower than bf16-FP; PERF.md)."""
+    from eda_dm_tpu.ops.serving_policy import preferred_export_kind
+    monkeypatch.delenv("EDM_SERVE_KIND", raising=False)
+    assert preferred_export_kind(False) == "int8"
+    assert preferred_export_kind(True) == "bf16"
+    from eda_dm_tpu.models.latent_diffusion import (
+        bedroom_config, church_config, imagenet_config, sd_v1_config)
+    assert preferred_export_kind(
+        bedroom_config().unet.use_spatial_transformer) == "int8"
+    assert preferred_export_kind(
+        church_config().unet.use_spatial_transformer) == "int8"
+    assert preferred_export_kind(
+        imagenet_config().unet.use_spatial_transformer) == "bf16"
+    assert preferred_export_kind(
+        sd_v1_config().unet.use_spatial_transformer) == "bf16"
+    monkeypatch.setenv("EDM_SERVE_KIND", "int8")
+    assert preferred_export_kind(True) == "int8"
