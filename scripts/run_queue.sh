@@ -1,21 +1,29 @@
 #!/bin/bash
-# Consolidated chip queue (round 5) — replaces run_r4_queue{,2,3,4,5,6}.sh
-# (round-4 verdict next #8).
+# Chip work queue — ONE parameterized script (round-4 verdict next #8;
+# the numbered run_queue{2..7}.sh generations of round 5's mid-round
+# triage live in git history).
 #
-# Fixes from ADVICE.md round 4:
-#  * the guard is the phase's own timeout, so an admitted phase can never
-#    overrun the deadline (low #3);
-#  * sample/validate phases are exit-code-gated on their calib/recon
-#    phases, so a timed-out recon can't masquerade as post-recon results
-#    (medium #1); recon gets one retry (per-group resume makes it cheap);
-#  * no pid-liveness waiting (low #4): the queue is self-contained.
+# Usage:
+#   echo <epoch-deadline> > /tmp/r5_deadline   # adjust live
+#   nohup bash scripts/run_queue.sh [item ...] > /tmp/queue.log 2>&1 &
+# Items (default: the full round-5 production list, priority order):
+#   accel:<task>    fp + fpbf16 + int8 ms/denoise-step rows
+#   matrix:<task>   calib -> recon (row-capped; retry) -> int8 sample
+#                   -> validate snapshot, exit-code-gated
+#   gate            recon-deviation seed-noise control
+#   probe           two-shape serving probe (policy regression + roofline)
+#   cifar-snap      CIFAR accuracy snapshot
 #
-# The deadline is read live from $DEADLINE_FILE (epoch seconds) before each
-# phase, so it can be extended/shortened while the queue runs (round
-# lengths vary: round 4 got 3.8 h of an advertised 12 h).
-#
-#   nohup bash scripts/run_queue.sh > /tmp/r5_queue.log 2>&1 &
-#   echo <epoch> > /tmp/r5_deadline     # adjust live
+# Operational rules learned on-chip (PERF.md / ROUND_NOTES round 5):
+#  * ONE serve per process — relay-resident compiled programs are only
+#    freed by process exit (quick-calib re-execs into a clean sampler);
+#  * every phase timeout doubles as the deadline guard, so an admitted
+#    phase can never overrun the deadline;
+#  * sample/validate are exit-code-gated on calib/recon (a timed-out
+#    recon must not masquerade as post-recon results);
+#  * transformer-heavy recon plans are compile-dominated (~4 min/target
+#    on a 1-core host): budget recon windows from the plan length, and
+#    use --recon-rows to cap row-linear capture cost.
 set -x
 cd /root/repo
 DEADLINE_FILE=${DEADLINE_FILE:-/tmp/r5_deadline}
@@ -25,104 +33,72 @@ run() {  # run <timeout-s> <cmd...> — skip unless it can finish by DEADLINE
   local t=$1; shift
   local left=$(( $(cat "$DEADLINE_FILE") - $(date +%s) ))
   if [ "$t" -gt "$left" ]; then
-    echo "=== SKIP (need ${t}s, ${left}s left): $*"
-    return 1
+    echo "=== SKIP (need ${t}s, ${left}s left): $*"; return 1
   fi
   echo "=== [$(date +%H:%M:%S)] start (timeout ${t}s): $*"
-  timeout "$t" "$@"
-  local rc=$?
-  echo "=== [$(date +%H:%M:%S)] rc=$rc: $*"
-  return $rc
+  timeout "$t" "$@"; local rc=$?
+  echo "=== [$(date +%H:%M:%S)] rc=$rc: $*"; return $rc
 }
 
 PL="python scripts/perf_ldm.py"
 
-# ---------------------------------------------------------------------
-# 1. Acceleration table (round-4 verdict missing #2): fp / bf16-FP / int8
-#    ms/denoise-step per latent task.  ONE SERVE PER PROCESS: compiled
-#    TPU programs stay resident on the relay for a process lifetime
-#    (PERF.md), and two production sampling programs already exhausted
-#    HBM on bedroom when chained in-process.  FP-family rows need no
-#    quant state at all (--phase sample skips calib); the int8 row uses
-#    the 8-sample quick-calib quant state — int8 *timing* is
-#    value-independent (quality rows come from the real calib+recon
-#    matrix below).  This is the reference's quantized-vs-FP claim
-#    (README.md:92-124) stated per task on TPU.
-accel() {  # accel <task> <fp-timeout> <int8-timeout>
+accel() {  # fp / bf16-FP / int8 serving rows for one task
   local T=$1
-  run "$2" $PL --task "$T" --phase sample --serve fp     --calib 64 \
+  run 2400 $PL --task "$T" --phase sample --serve fp     --calib 64 \
       --sample-batches 2
-  run "$2" $PL --task "$T" --phase sample --serve fpbf16 --calib 64 \
+  run 2400 $PL --task "$T" --phase sample --serve fpbf16 --calib 64 \
       --sample-batches 2
-  run "$3" $PL --task "$T" --quick-calib --skip-recon --serve int8 \
+  run 3000 $PL --task "$T" --quick-calib --skip-recon --serve int8 \
       --calib 64 --sample-batches 2
 }
-# Ordering = priority: total timeout demand exceeds any plausible round
-# budget, and the deadline guard drops from the BACK.  Verdict missing #1
-# (imagenet matrix, two rounds old) and #2 (accel rows) come before the
-# gate; church/coco matrices and the probe trail.
 
-accel bedroom  2400 3000
-accel imagenet 2400 3000
-
-matrix() {  # matrix <task> <calib-timeout> <recon-timeout> <traj-batch> [extra validate args]
-  local T=$1 CT=$2 RT=$3 TB=$4; shift 4
-  run "$CT" $PL --task "$T" --phase calib --calib 256 --traj-batch "$TB" \
-   && { run "$RT" $PL --task "$T" --phase recon --calib 256 --iters 50 \
-        || run "$RT" $PL --task "$T" --phase recon --calib 256 --iters 50; } \
-   && run 2400 $PL --task "$T" --phase sample --calib 256 --serve int8 \
+matrix() {  # real calib -> recon (one retry; per-group resume) -> int8
+            # sampling -> accuracy snapshot, exit-code-gated
+  local T=$1; shift
+  run 3000 $PL --task "$T" --phase calib --calib 256 --traj-batch 32 \
+   && { run 6600 $PL --task "$T" --phase recon --calib 256 --iters 50 \
+            --recon-rows 128 \
+        || run 6600 $PL --task "$T" --phase recon --calib 256 --iters 50 \
+            --recon-rows 128; } \
+   && run 2400 $PL --task "$T" --phase sample --calib 256 --serve auto \
         --sample-batches 2 \
    && run 3000 python scripts/validate_ptq.py --task "$T" --n 32 \
         --quant_state "/tmp/perf_ldm_state/$T/quant_state" \
-        --custom_steps 20 --batch_size 8 --serve int8 "$@"
+        --custom_steps 20 --batch_size 8 --serve auto "$@"
 }
-matrix imagenet 3000 4800 32
 
-# Recon-deviation seed-noise control (verdict missing #3 / next #2).
-# Main A/B/FP metrics print before the control arm, so a timeout still
-# re-lands the paired result; control key 7 != the A arm's key 2.
-run 9000 python scripts/gate_recon_deviations.py --iters 500 --n 256 \
-    --with-control 7
+gate() {
+  run 9000 python scripts/gate_recon_deviations.py --iters 500 --n 256 \
+      --with-control 7 \
+   || run 3900 python scripts/gate_recon_deviations.py --iters 400 --n 160 \
+      --with-control 7
+}
 
-accel church   2400 3000
-accel coco     2700 3600
+probe() { run 1800 python scripts/probe.py --stage serving-model; }
 
-matrix church   3600 4800 32
-matrix coco     3600 4800 8 --text_encoder tiny
-matrix bedroom  3600 4800 32
+cifar_snap() {
+  run 3600 python scripts/validate_ptq.py --task cifar --n 64 \
+      --calib_num_samples 256 --iters 50 --timesteps 20 --batch_size 32 \
+      --serve int8
+}
 
-# Recurring two-shape serving probe (verdict weak #7): CIFAR BENCH
-# shape + bedroom shape, fp32/bf16-FP/int8 model-level steps/s.
-run 1800 python scripts/probe.py --stage serving-model
-
-# CIFAR accuracy snapshot (real arch, reduced iters — recorded next to
-# the latent snapshots; verdict next #3)
-run 3600 python scripts/validate_ptq.py --task cifar --n 64 \
-    --calib_num_samples 256 --iters 50 --timesteps 20 --batch_size 32 \
-    --serve int8
-
-echo "=== R5 QUEUE DONE ==="
-
-# Makeup: bedroom fpbf16 row OOMed before the perf_ldm single-serve
-# free fix (bf02f1c); re-run with the fixed code.
-run 2400 $PL --task bedroom --phase sample --serve fpbf16 --calib 64 \
-    --sample-batches 2
-
-echo "=== R5 QUEUE DONE (incl. makeup) ==="
-
-# Makeup: bedroom int8 accel row OOMed before the re-exec clean-slate
-# fix; re-run (quick-calib now saves state and execs a fresh sampler).
-run 3000 $PL --task bedroom --quick-calib --skip-recon --serve int8 \
-    --calib 64 --sample-batches 2
-
-echo "=== R5 QUEUE DONE (all makeups) ==="
-
-# Makeup: imagenet fp/fpbf16 rows OOMed in the VAE decode while the
-# config wrongly paired the cin256 f8 VAE with the cin256-v2 f4 latent
-# (fixed in models/latent_diffusion.py); re-run with the f4 VAE.
-run 2400 $PL --task imagenet --phase sample --serve fp     --calib 64 \
-    --sample-batches 2
-run 2400 $PL --task imagenet --phase sample --serve fpbf16 --calib 64 \
-    --sample-batches 2
-
-echo "=== R5 QUEUE DONE (imagenet makeups) ==="
+if [ $# -gt 0 ]; then
+  for item in "$@"; do
+    case "$item" in
+      accel:*)  accel "${item#accel:}" ;;
+      matrix:*) matrix "${item#matrix:}" ;;
+      gate)     gate ;;
+      probe)    probe ;;
+      cifar-snap) cifar_snap ;;
+      *) echo "unknown item: $item" ;;
+    esac
+  done
+else
+  accel bedroom; accel imagenet
+  matrix imagenet
+  gate
+  accel church; accel coco
+  matrix church; matrix coco --text_encoder tiny; matrix bedroom
+  probe; cifar_snap
+fi
+echo "=== QUEUE DONE ==="
